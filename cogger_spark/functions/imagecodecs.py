@@ -1,0 +1,130 @@
+"""Vectorized image kernels: decode/encode, tile cutting, 2x average
+downsampling, PSNR.
+
+The reference performs no pixel work itself — it delegates resampling to
+GDAL (`gdal_translate -r average`, stripper.go:174-176) — so the pixel
+semantics here are ours to define, pinned by tests:
+
+* formats: ``raw``  = band-interleaved-by-pixel uint8, no compression;
+           ``deflate`` = zlib over the same buffer (stdlib-only, per
+           FIXTURES.md — no PIL/imagecodecs in the environment). ``png`` /
+           ``jpeg`` are reserved: the plumbing accepts them but decode raises
+           NotImplementedError until a codec library is present.
+* overview downsampling: 2x average with ceil-halved dims
+  (stripper.go:272-285); edge pixels average over the available 1-2 source
+  pixels; integer round-half-up.
+
+Everything here is NumPy over whole images/batches (Arrow-friendly); no
+per-pixel Python.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+RAW = "raw"
+DEFLATE = "deflate"
+_LOSSLESS = {RAW, DEFLATE}
+
+
+def decode_image(data: bytes, w: int, h: int, fmt: str, bands: int) -> np.ndarray:
+    """bytes → uint8 array of shape (h, w, bands) (band-interleaved-by-pixel)."""
+    if fmt == RAW:
+        buf = np.frombuffer(data, dtype=np.uint8)
+    elif fmt == DEFLATE:
+        buf = np.frombuffer(zlib.decompress(data), dtype=np.uint8)
+    elif fmt in ("png", "jpeg"):
+        raise NotImplementedError(
+            f"{fmt} decode requires an image codec library not present in this "
+            "environment; plumbing (schema/batching) is exercised with raw/deflate")
+    else:
+        raise ValueError(f"unknown format {fmt!r}")
+    if buf.size != w * h * bands:
+        raise ValueError(f"size mismatch: {buf.size} != {w}x{h}x{bands}")
+    return buf.reshape(h, w, bands)
+
+
+def encode_image(px: np.ndarray, fmt: str) -> bytes:
+    if fmt == RAW:
+        return np.ascontiguousarray(px, dtype=np.uint8).tobytes()
+    if fmt == DEFLATE:
+        return zlib.compress(np.ascontiguousarray(px, dtype=np.uint8).tobytes())
+    raise ValueError(f"unknown format {fmt!r}")
+
+
+def downsample2x(px: np.ndarray) -> np.ndarray:
+    """2x average downsample with ceil-halved output dims.
+
+    Matches the reference pyramid's `niw = ceil(iw/2)` (stripper.go:272-273,
+    284-285). Odd edges: replicate-pad one row/col, which makes each output
+    pixel the round-half-up mean of the 1-4 available source pixels.
+    """
+    h, w, b = px.shape
+    ph, pw = h + (h & 1), w + (w & 1)
+    if (ph, pw) != (h, w):
+        padded = np.empty((ph, pw, b), dtype=np.uint8)
+        padded[:h, :w] = px
+        if pw != w:
+            padded[:h, w] = px[:, w - 1]
+        if ph != h:
+            padded[h, :w] = px[h - 1, :]
+        if pw != w and ph != h:
+            padded[h, w] = px[h - 1, w - 1]
+        px = padded
+    s = px.reshape(ph // 2, 2, pw // 2, 2, b).astype(np.uint16)
+    total = s.sum(axis=(1, 3), dtype=np.uint32)
+    return ((total + 2) >> 2).astype(np.uint8)
+
+
+def build_pyramid(px: np.ndarray, tile: int, min_overview_size: int = 2) -> list:
+    """Full-res + 2x overviews until a level fits one tile or hits the
+    minimum size (overview-count rule of stripper.go:265-275)."""
+    levels = [px]
+    h, w = px.shape[0], px.shape[1]
+    while (w > tile or h > tile) and (w > min_overview_size and h > min_overview_size):
+        px = downsample2x(px)
+        levels.append(px)
+        h, w = px.shape[0], px.shape[1]
+    return levels
+
+
+def cut_tiles(px: np.ndarray, tile: int):
+    """Yield (tx, ty, tile_pixels) with edge tiles padded to full tile size
+    with zeros, row-major. Full tile padding matches TIFF tiled layout where
+    every tile buffer is tile_w x tile_h regardless of image edge."""
+    h, w, b = px.shape
+    nty = -(-h // tile)
+    ntx = -(-w // tile)
+    for ty in range(nty):
+        for tx in range(ntx):
+            block = px[ty * tile:(ty + 1) * tile, tx * tile:(tx + 1) * tile]
+            if block.shape[0] != tile or block.shape[1] != tile:
+                full = np.zeros((tile, tile, b), dtype=np.uint8)
+                full[:block.shape[0], :block.shape[1]] = block
+                block = full
+            yield tx, ty, block
+
+
+def stitch_tiles(tiles: dict, w: int, h: int, bands: int, tile: int) -> np.ndarray:
+    """Inverse of cut_tiles: {(tx,ty): pixels} → (h,w,bands), crop padding."""
+    out = np.zeros((h, w, bands), dtype=np.uint8)
+    for (tx, ty), block in tiles.items():
+        y0, x0 = ty * tile, tx * tile
+        out[y0:y0 + tile, x0:x0 + tile] = block[:min(tile, h - y0), :min(tile, w - x0)]
+    return out
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB; inf for identical images
+    (per-row invariant: PSNR>=40dB for lossy formats, exact for lossless)."""
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+def is_lossless(fmt: str) -> bool:
+    return fmt in _LOSSLESS

@@ -1,0 +1,132 @@
+"""Unit tests for the NumPy kernels: codecs, downsampling, cell index."""
+
+import numpy as np
+import pytest
+
+from cogger_spark.functions import cells
+from cogger_spark.functions.imagecodecs import (
+    build_pyramid,
+    cut_tiles,
+    decode_image,
+    downsample2x,
+    encode_image,
+    psnr,
+    stitch_tiles,
+)
+from cogger_spark import fixtures
+
+
+def test_codec_roundtrip():
+    px = fixtures.make_pixels(3, 300, 257, 3, False)
+    for fmt in ("raw", "deflate"):
+        data = encode_image(px, fmt)
+        back = decode_image(data, 300, 257, fmt, 3)
+        assert np.array_equal(px, back)
+
+
+def test_png_stub_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"", 1, 1, "png", 1)
+
+
+def test_downsample_even():
+    px = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    out = downsample2x(px)
+    assert out.shape == (2, 2, 1)
+    # block [[0,1],[4,5]] mean=2.5 → round-half-up 3
+    assert out[0, 0, 0] == 3
+
+
+def test_downsample_odd_edges():
+    px = np.array([[10, 20, 30]], dtype=np.uint8).reshape(1, 3, 1)
+    out = downsample2x(px)
+    assert out.shape == (1, 2, 1)
+    assert out[0, 0, 0] == 15  # mean(10,20)
+    assert out[0, 1, 0] == 30  # single edge pixel
+
+
+def test_pyramid_depth_matches_reference_rule():
+    # ceil-halving until fits one tile (stripper.go:265-275)
+    levels = build_pyramid(np.zeros((301, 301, 1), np.uint8), tile=300,
+                           min_overview_size=3)
+    assert len(levels) == 2
+    levels = build_pyramid(np.zeros((300, 300, 1), np.uint8), tile=300,
+                           min_overview_size=3)
+    assert len(levels) == 1
+    levels = build_pyramid(np.zeros((3, 301, 1), np.uint8), tile=300,
+                           min_overview_size=3)
+    assert len(levels) == 1
+
+
+def test_cut_and_stitch_roundtrip():
+    px = fixtures.make_pixels(5, 513, 300, 4, True)
+    tiles = {(tx, ty): block for tx, ty, block in cut_tiles(px, 128)}
+    assert len(tiles) == 5 * 3  # ceil(513/128) x ceil(300/128)
+    back = stitch_tiles(tiles, 513, 300, 5, 128)
+    assert np.array_equal(px, back)
+
+
+def test_psnr():
+    a = np.zeros((8, 8, 1), np.uint8)
+    assert psnr(a, a) == float("inf")
+    b = a.copy()
+    b[0, 0, 0] = 255
+    assert 0 < psnr(a, b) < 40
+
+
+def test_cell_roundtrip():
+    lon = np.array([-175.0, 0.0, 12.34, 179.9])
+    lat = np.array([-85.0, 0.0, -45.6, 89.9])
+    for res in (0, 5, 10, 20, 28):
+        c = cells.cell_encode(lon, lat, res)
+        x, y, r = cells.xy_from_cell(c)
+        assert np.all(r == res)
+        ex, ey = cells.grid_xy(lon, lat, res)
+        assert np.array_equal(x, ex) and np.array_equal(y, ey)
+
+
+def test_cell_parent_contains_child():
+    lon, lat = np.array([12.34]), np.array([-45.6])
+    child = cells.cell_encode(lon, lat, 15)
+    parent = cells.cell_parent(child, 8)
+    direct = cells.cell_encode(lon, lat, 8)
+    assert np.array_equal(parent, direct)
+
+
+def test_k_ring_counts_and_membership():
+    c = cells.cell_encode(np.array([10.0]), np.array([10.0]), 10)
+    ring = cells.k_ring(c, 1)
+    assert ring.shape == (1, 9)
+    assert c[0] in set(ring[0].tolist())
+    assert len(set(ring[0].tolist())) == 9  # interior cell: all distinct
+
+
+def test_k_ring_clamps_at_border():
+    c = cells.cell_encode(np.array([-180.0]), np.array([-90.0]), 10)
+    ring = cells.k_ring(c, 1)
+    assert len(set(ring[0].tolist())) == 4  # corner: 2x2 distinct
+
+
+def test_cover_bbox():
+    res = 10
+    size = cells.cell_size_deg(res)
+    covers = cells.cover_bbox(np.array([0.01]), np.array([0.01]),
+                              np.array([0.01 + 2.5 * size]), np.array([0.01 + 0.5 * size]),
+                              res)
+    # ~3.5 cells wide x 1.5 tall around alignment → 3-4 x 1-2 cells
+    assert 3 <= len(covers[0]) <= 8
+    # every point sampled inside the bbox maps to a covered cell
+    pts_lon = np.linspace(0.011, 0.01 + 2.49 * size, 7)
+    pts_lat = np.full(7, 0.02)
+    pc = cells.cell_encode(pts_lon, pts_lat, res)
+    assert set(pc.tolist()) <= set(covers[0].tolist())
+
+
+def test_fixture_pixels_closed_form():
+    # block (1,0) of band 2, pixel flat idx i → ((2*10+0*2+1)*2 * (i%4)) & 255
+    px = fixtures.make_pixels(0, 300, 200, 3, False)
+    v = (2 * 10 + 0 * 2 + 1) * 2
+    # pixel at row 0, col 128 → block (1,0), in-block idx 0 → 0
+    assert px[0, 128, 2] == 0
+    assert px[0, 129, 2] == (v * 1) & 0xFF
+    assert px[0, 131, 2] == (v * 3) & 0xFF
