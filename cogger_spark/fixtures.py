@@ -41,7 +41,10 @@ def n_bands(i: int) -> int:
 
 
 def has_mask(i: int) -> bool:
-    return i % 5 == 0
+    # only 1- and 4-band images carry masks so the plane count (2 or 5)
+    # unambiguously signals "last plane is a mask" to the decoder
+    # (3-band + mask would collide with plain 4-band imagery)
+    return i % 5 == 0 and n_bands(i) != 3
 
 
 def image_dims(i: int, dims=TEST_DIMS):

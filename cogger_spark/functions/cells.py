@@ -104,12 +104,13 @@ def k_ring(cell: np.ndarray, k: int) -> np.ndarray:
 def cover_bbox(lon_min, lat_min, lon_max, lat_max, res: int):
     """Cells covering an axis-aligned bbox → list of int64 arrays (ragged).
 
-    The max corner is treated as exclusive-with-epsilon: a bbox whose edge
-    lands exactly on a cell boundary does not claim the next cell.
+    The max corner is inclusive: an edge landing exactly on a cell boundary
+    claims the next cell too. The cover may therefore be one cell wider than
+    strictly needed — harmless, since every cell join is followed by an exact
+    geometric refinement (filter-and-refine, SURVEY.md §2.3 J5).
     """
     x0, y0 = grid_xy(lon_min, lat_min, res)
-    eps = 1e-9
-    x1, y1 = grid_xy(np.asarray(lon_max) - eps, np.asarray(lat_max) - eps, res)
+    x1, y1 = grid_xy(np.asarray(lon_max), np.asarray(lat_max), res)
     x1 = np.maximum(x0, x1)
     y1 = np.maximum(y0, y1)
     out = []

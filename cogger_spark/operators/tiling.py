@@ -1,0 +1,239 @@
+"""images DataFrame → tiles DataFrame → per-image COG blobs.
+
+The Spark re-expression of the reference dataflow (SURVEY.md §3.3):
+
+    read image table → mapInPandas decode+pyramid+cut (Arrow-batched)
+      → tile DataFrame (the engine's central relation)
+      → window prefix-sum offsets (A1, cog.go:522-597 — exposed as a
+        declarative query; the assembly kernel recomputes exact offsets via
+        the codec)
+      → applyInPandas per-image COG assembly (S4/S5, cog.go:460-750)
+
+Scale notes (100 TB design point):
+* decode/cut is embarrassingly parallel — no shuffle; Arrow batch size is
+  bounded (session.py) so worker memory is O(batch × image).
+* the only shuffle is the per-image group for assembly, keyed by image_id —
+  uniformly distributed, no hot keys; oversized images would take the strip
+  path (planner/) instead of a single group.
+* tile metadata queries never touch `payload`/`bytes` (column pruning pushes
+  a 2-column read into the parquet scan).
+
+Tile-plane convention: imagery tiles are pixel-interleaved (one tile holds
+all bands, PlanarConfiguration=1) with plane=0; the optional mask plane is
+plane=1 — exactly the reference's default interleaving [[0,1]] where the
+mask index is 1 for non-planar files (cog.go:155-166, 1132-1137).  The
+deterministic global tile order is therefore
+    ORDER BY level DESC, ty, tx, plane        (W1, cog.go:1106-1168)
+(level L = smallest overview comes first; level 0 = full-res last.)
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from ..functions.geo import PIXEL_DEG, anchor, img_index
+from ..functions.imagecodecs import (
+    build_pyramid,
+    cut_tiles,
+    decode_image,
+    encode_image,
+)
+from ..tiff.codec import IFD, Config, rewrite_ifd_tree
+
+TILE_SCHEMA = (
+    "image_id string, level int, plane int, ty int, tx int, "
+    "level_w int, level_h int, n_levels int, planes int, has_mask boolean, "
+    "byte_count long, payload binary"
+)
+
+GHOST_OVERHEAD = 8  # BLOCK_LEADER (4) + BLOCK_TRAILER (4), cog.go:733-743
+
+
+def infer_planes(nbytes: int, w: int, h: int) -> tuple[int, bool]:
+    """Plane count from the decoded buffer size; 2 or 5 planes means the last
+    plane is a mask (fixture convention documented in fixtures.py)."""
+    if nbytes % (w * h) != 0:
+        raise ValueError(f"buffer {nbytes} not a multiple of {w}x{h}")
+    k = nbytes // (w * h)
+    if k in (2, 5):
+        return k - 1, True
+    return k, False
+
+
+def tile_images(images: DataFrame, tile: int = 512, compression: str = "deflate",
+                min_overview_size: int = 2) -> DataFrame:
+    """Decode each image, build its 2x-average overview pyramid, cut every
+    level into `tile`-sized tiles (zero-padded at edges), compress, and emit
+    one row per tile.  Runs as a single narrow mapInPandas stage."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+        for pdf in batches:
+            out = {k: [] for k in ("image_id", "level", "plane", "ty", "tx",
+                                   "level_w", "level_h", "n_levels", "planes",
+                                   "has_mask", "byte_count", "payload")}
+            for row in pdf.itertuples(index=False):
+                w, h = int(row.w), int(row.h)
+                data = row.bytes
+                buf = zlib.decompress(data) if row.fmt == "deflate" else data
+                nplanes, mask = infer_planes(len(buf), w, h)
+                px = decode_image(buf, w, h, "raw", nplanes + (1 if mask else 0))
+                levels = build_pyramid(px, tile, min_overview_size)
+                n_levels = len(levels)
+                for lvl, lpx in enumerate(levels):
+                    lh, lw = lpx.shape[0], lpx.shape[1]
+                    for tx, ty, block in cut_tiles(lpx, tile):
+                        img_block = block[:, :, :nplanes]
+                        payload = encode_image(img_block, compression)
+                        out["image_id"].append(row.image_id)
+                        out["level"].append(lvl)
+                        out["plane"].append(0)
+                        out["ty"].append(ty)
+                        out["tx"].append(tx)
+                        out["level_w"].append(lw)
+                        out["level_h"].append(lh)
+                        out["n_levels"].append(n_levels)
+                        out["planes"].append(nplanes)
+                        out["has_mask"].append(mask)
+                        out["byte_count"].append(len(payload))
+                        out["payload"].append(payload)
+                        if mask:
+                            mpayload = encode_image(block[:, :, nplanes:], compression)
+                            out["image_id"].append(row.image_id)
+                            out["level"].append(lvl)
+                            out["plane"].append(1)
+                            out["ty"].append(ty)
+                            out["tx"].append(tx)
+                            out["level_w"].append(lw)
+                            out["level_h"].append(lh)
+                            out["n_levels"].append(n_levels)
+                            out["planes"].append(nplanes)
+                            out["has_mask"].append(mask)
+                            out["byte_count"].append(len(mpayload))
+                            out["payload"].append(mpayload)
+            yield pd.DataFrame(out)
+
+    cols = ["image_id", "bytes", "w", "h", "fmt"]
+    return images.select(*cols).mapInPandas(kernel, schema=TILE_SCHEMA)
+
+
+def tile_order_window() -> Window:
+    """The deterministic global tile order as a window spec (W1)."""
+    return (Window.partitionBy("image_id")
+            .orderBy(F.col("level").desc(), "ty", "tx", "plane"))
+
+
+def with_tile_order(tiles: DataFrame) -> DataFrame:
+    """Rank every tile in the reference write order (0-based)."""
+    return tiles.withColumn(
+        "tile_rank", F.row_number().over(tile_order_window()) - F.lit(1))
+
+
+def with_data_offsets(tiles: DataFrame, ghost: bool = True) -> DataFrame:
+    """Per-image running byte offset of each tile within the data section
+    (A1, cog.go:568-596): prefix sum of byte_count (+8 ghost framing per
+    tile), zero-length tiles elided (offset 0, occupy no bytes — P3)."""
+    overhead = GHOST_OVERHEAD if ghost else 0
+    w = tile_order_window().rowsBetween(Window.unboundedPreceding, -1)
+    occupied = F.when(F.col("byte_count") > 0,
+                      F.col("byte_count") + F.lit(overhead)).otherwise(F.lit(0))
+    off = F.coalesce(F.sum(occupied).over(w), F.lit(0))
+    return tiles.withColumn(
+        "data_offset",
+        F.when(F.col("byte_count") > 0, off).otherwise(F.lit(0)))
+
+
+ASSEMBLY_SCHEMA = ("image_id string, cog binary, n_tiles long, n_levels int, "
+                   "header_bytes long, total_bytes long")
+
+
+def assemble_cogs(tiles: DataFrame, tile: int = 512,
+                  compression: str = "deflate", ghost: bool = True) -> DataFrame:
+    """Group tiles per image and emit one complete COG blob per image.
+
+    The kernel rebuilds the IFD tree (main + overviews + masks) and delegates
+    layout to the byte-exact codec: metadata-first header, GDAL ghost areas,
+    prefix-sum offsets, deterministic tile order (cog.go:460-750)."""
+    comp_tag = 8 if compression == "deflate" else 1
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        image_id = pdf["image_id"].iloc[0]
+        nplanes = int(pdf["planes"].iloc[0])
+        has_mask = bool(pdf["has_mask"].iloc[0])
+        n_levels = int(pdf["n_levels"].iloc[0])
+        lon0, lat0 = anchor(img_index(image_id))
+
+        payloads = {}
+        level_dims = {}
+        for r in pdf.itertuples(index=False):
+            payloads[(r.level, r.plane, r.ty, r.tx)] = r.payload
+            level_dims[r.level] = (int(r.level_w), int(r.level_h))
+
+        def make_ifd(level: int, plane: int) -> IFD:
+            lw, lh = level_dims[level]
+            ntx = -(-lw // tile)
+            nty = -(-lh // tile)
+            tbc, blobs = [], []
+            for y in range(nty):
+                for x in range(ntx):
+                    b = payloads[(level, plane, y, x)]
+                    tbc.append(len(b))
+                    blobs.append(b)
+            bands = nplanes if plane == 0 else 1
+            ifd = IFD(
+                image_width=lw, image_height=lh,
+                bits_per_sample=(8,) * bands,
+                compression=comp_tag,
+                photometric=(4 if plane == 1 else (2 if bands >= 3 else 1)),
+                samples_per_pixel=bands,
+                planar_configuration=1,
+                tile_width=tile, tile_height=tile,
+                tile_byte_counts=tuple(tbc),
+                tile_offsets=tuple([0] * len(tbc)),
+                software="cogger_spark",
+            )
+            if plane == 0 and bands == 4:
+                ifd.extra_samples = (0,)
+            if level == 0 and plane == 0:
+                # synthetic geo frame (functions/geo.py); overviews/masks get
+                # these stripped by add_overview/add_mask (cog.go:186-193)
+                ifd.model_pixel_scale = (PIXEL_DEG, PIXEL_DEG, 0.0)
+                ifd.model_tie_point = (0.0, 0.0, 0.0, lon0, lat0, 0.0)
+            ifd.load_tile = lambda idx, _b=blobs: _b[idx]
+            return ifd
+
+        main = make_ifd(0, 0)
+        for lvl in range(1, n_levels):
+            ovr = make_ifd(lvl, 0)
+            if has_mask:
+                ovr.add_mask(make_ifd(lvl, 1))
+            main.add_overview(ovr)
+        if has_mask:
+            main.add_mask(make_ifd(0, 1))
+
+        cog = rewrite_ifd_tree(main, Config(with_gdal_ghost=ghost))
+        header_end = min(o for f in [main] + ([main.mask] if main.mask else [])
+                         + main.overviews + [o.mask for o in main.overviews if o.mask]
+                         for o in f.new_tile_offsets if o > 0)
+        return pd.DataFrame({
+            "image_id": [image_id],
+            "cog": [cog],
+            "n_tiles": [len(pdf)],
+            "n_levels": [n_levels],
+            "header_bytes": [int(header_end) - (4 if ghost else 0)],
+            "total_bytes": [len(cog)],
+        })
+
+    return tiles.groupBy("image_id").applyInPandas(kernel, schema=ASSEMBLY_SCHEMA)
+
+
+def cog_pipeline(images: DataFrame, tile: int = 512,
+                 compression: str = "deflate", ghost: bool = True) -> DataFrame:
+    """images → COG blobs, end-to-end (the flagship dataflow)."""
+    return assemble_cogs(tile_images(images, tile=tile, compression=compression),
+                         tile=tile, compression=compression, ghost=ghost)

@@ -1,0 +1,46 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+Tuned for correctness at local[32] and for the same code to hold on a
+multi-executor cluster: AQE (runtime re-plan + skew-join splitting), Arrow
+batching for every Python kernel, bounded Arrow batch sizes so per-image
+pixel buffers never blow an executor, and shuffle partitions proportional to
+parallelism (the bench harness pins partitions = cores at both N and 4N so
+scaling efficiency measures the engine, not a fixed shuffle width).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "cogger-spark", cores: int | None = None,
+              shuffle_partitions: int | None = None,
+              arrow_batch_rows: int = 16,
+              extra: dict | None = None) -> SparkSession:
+    """Build (or fetch) a session.
+
+    arrow_batch_rows bounds rows per Arrow batch entering mapInPandas — image
+    rows carry multi-MB binary payloads, so small batches keep Python worker
+    memory O(batch * image_size) regardless of table size.
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = cores
+    b = (SparkSession.builder
+         .appName(app_name)
+         .master(f"local[{cores}]")
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
+         .config("spark.sql.parquet.compression.codec", "snappy")
+         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+         .config("spark.ui.enabled", "false"))
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

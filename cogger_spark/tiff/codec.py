@@ -549,7 +549,8 @@ def tile_order(main: IFD) -> Iterator[Tuple[IFD, int, int, int]]:
         if mask is not None:
             mask_idx = ifd.samples_per_pixel if ifd.planar_configuration == 2 else 1
         ntx, nty = ifd.n_tiles_x(), ifd.n_tiles_y()
-        assert ifd.planar_interleaving is not None
+        if ifd.planar_interleaving is None:
+            ifd.set_default_planar_interleaving()
         for group in ifd.planar_interleaving:
             for y in range(nty):
                 for x in range(ntx):
