@@ -1,0 +1,268 @@
+"""Spatial operators: tile extents, point-in-polygon, kNN, zonal joins,
+phash dedup (SURVEY.md §2.3 J5-J8, BASELINE.json:6,14).
+
+Design (filter-and-refine, classic spatial-join shape):
+
+* tile extents are pure column arithmetic — closed-form from (image_id, w, h)
+  via the synthetic geo frame (functions/geo.py) — so the whole manifest
+  stays JVM-side/whole-stage-codegen and the parquet scan reads only 3 thin
+  columns (never `bytes`).
+* every spatial join is an equi-join on quadtree cell ids (vectorized
+  pandas_udf producing the cells) followed by an exact geometric refinement
+  predicate — Catalyst gets a shuffle-hash/broadcast equi-join instead of a
+  theta join, which is what makes this hold at 10^12 rows.
+* skew: hot cells (point clusters) are handled by AQE skew-join splitting
+  (enabled in session.py); the dedup/count paths offer salted two-stage
+  aggregation (`salted_count_by`).
+
+Containment/overlap conventions (mirrored exactly by the DuckDB oracles):
+point-in-tile is half-open (min <= p < max); box-box overlap is strict on
+both sides (t.min < z.max AND t.max > z.min).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+from pyspark.sql.types import ArrayType, LongType
+
+from ..functions import cells as C
+from ..functions.geo import (
+    DEFAULT_RES,
+    LAT_BASE,
+    LAT_MOD,
+    LAT_MULT,
+    LON_BASE,
+    LON_MOD,
+    LON_MULT,
+    PIXEL_DEG,
+)
+
+# ---------------------------------------------------------------------------
+# tile extents — JVM-only column math
+# ---------------------------------------------------------------------------
+
+
+def _anchor_cols(df: DataFrame) -> DataFrame:
+    img_idx = F.substring("image_id", 5, 8).cast("long")
+    return (df
+            .withColumn("img_idx", img_idx)
+            .withColumn("lon0", F.lit(LON_BASE) + (img_idx * LON_MULT % LON_MOD) / 10.0)
+            .withColumn("lat0", F.lit(LAT_BASE) + (img_idx * LAT_MULT % LAT_MOD) / 10.0))
+
+
+def n_extra_levels_col(tile: int, min_size: int = 2):
+    """Overview count, closed form (rule of stripper.go:265-275):
+    halvings until the level fits one tile, capped by halvings until the
+    smaller dim reaches min_size."""
+    k_tile = F.greatest(
+        F.lit(0),
+        F.ceil(F.log2(F.col("w") / F.lit(float(tile)))),
+        F.ceil(F.log2(F.col("h") / F.lit(float(tile)))))
+    k_min = F.greatest(
+        F.lit(0),
+        F.ceil(F.log2(F.least("w", "h") / F.lit(float(min_size)))))
+    return F.least(k_tile, k_min).cast("int")
+
+
+def tile_manifest(images: DataFrame, tile: int = 512, level: int | None = 0,
+                  min_size: int = 2) -> DataFrame:
+    """One row per output tile (imagery plane) with pixel dims and geo bbox.
+
+    level=None emits all pyramid levels (full manifest); level=k restricts.
+    Entirely built-in functions: sequence+explode for the tile grid, integer
+    ceil math for per-level dims — no Python in the plan, filters and column
+    pruning push into the scan.
+    """
+    df = _anchor_cols(images.select("image_id", "w", "h"))
+    df = df.withColumn("n_levels", n_extra_levels_col(tile, min_size) + F.lit(1))
+    if level is None:
+        df = df.withColumn("level", F.explode(F.sequence(F.lit(0), F.col("n_levels") - 1)))
+    else:
+        df = df.withColumn("level", F.lit(level)).filter(F.col("level") < F.col("n_levels"))
+    scale = F.pow(F.lit(2.0), F.col("level"))
+    # iterated ceil-halving == ceil(w / 2^level)
+    df = (df
+          .withColumn("lw", F.ceil(F.col("w") / scale).cast("int"))
+          .withColumn("lh", F.ceil(F.col("h") / scale).cast("int"))
+          .withColumn("ntx", F.ceil(F.col("lw") / F.lit(float(tile))).cast("int"))
+          .withColumn("nty", F.ceil(F.col("lh") / F.lit(float(tile))).cast("int")))
+    df = (df
+          .withColumn("ty", F.explode(F.sequence(F.lit(0), F.col("nty") - 1)))
+          .withColumn("tx", F.explode(F.sequence(F.lit(0), F.col("ntx") - 1))))
+    # valid pixels in this tile (edge tiles are partial)
+    df = (df
+          .withColumn("px_w", F.least(F.lit(tile), F.col("lw") - F.col("tx") * tile))
+          .withColumn("px_h", F.least(F.lit(tile), F.col("lh") - F.col("ty") * tile)))
+    deg_px = F.lit(PIXEL_DEG) * scale  # ground resolution doubles per level
+    return (df
+            .withColumn("lon_min", F.col("lon0") + F.col("tx") * tile * deg_px)
+            .withColumn("lat_min", F.col("lat0") + F.col("ty") * tile * deg_px)
+            .withColumn("lon_max", F.col("lon0") + (F.col("tx") * tile + F.col("px_w")) * deg_px)
+            .withColumn("lat_max", F.col("lat0") + (F.col("ty") * tile + F.col("px_h")) * deg_px)
+            .select("image_id", "level", "ty", "tx", "lw", "lh", "ntx", "nty",
+                    "px_w", "px_h", "lon_min", "lat_min", "lon_max", "lat_max"))
+
+
+# ---------------------------------------------------------------------------
+# cell columns — vectorized Arrow kernels (F8)
+# ---------------------------------------------------------------------------
+
+
+def point_cell_udf(res: int = DEFAULT_RES):
+    @F.pandas_udf(LongType())
+    def _enc(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(C.cell_encode(lon.values, lat.values, res))
+    return _enc
+
+
+def cover_cells_udf(res: int = DEFAULT_RES):
+    @F.pandas_udf(ArrayType(LongType()))
+    def _cover(lon_min: pd.Series, lat_min: pd.Series,
+               lon_max: pd.Series, lat_max: pd.Series) -> pd.Series:
+        covers = C.cover_bbox(lon_min.values, lat_min.values,
+                              lon_max.values, lat_max.values, res)
+        return pd.Series([c.tolist() for c in covers])
+    return _cover
+
+
+def ring_cells_udf(res: int = DEFAULT_RES, k: int = 2):
+    @F.pandas_udf(ArrayType(LongType()))
+    def _ring(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        cell = C.cell_encode(lon.values, lat.values, res)
+        rings = C.k_ring(cell, k)
+        return pd.Series([np.unique(r).tolist() for r in rings])
+    return _ring
+
+
+def with_tile_cells(tiles: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
+    """Explode each tile's bbox cover into (tile, cell_id) rows."""
+    cover = cover_cells_udf(res)
+    return tiles.withColumn(
+        "cell_id",
+        F.explode(cover("lon_min", "lat_min", "lon_max", "lat_max")))
+
+
+# ---------------------------------------------------------------------------
+# J5 — point-in-polygon (point-in-tile-extent) join
+# ---------------------------------------------------------------------------
+
+
+def pip_join(points: DataFrame, tiles: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
+    """points × tile extents via shared cells + exact half-open containment.
+
+    Each point has exactly one cell and the tile cover includes every cell the
+    tile touches, so the equi-join emits each qualifying (point, tile) pair at
+    most once — no post-join dedup needed."""
+    pc = points.withColumn("cell_id", point_cell_udf(res)("lon", "lat"))
+    tc = with_tile_cells(tiles, res)
+    joined = pc.join(tc, "cell_id")
+    return (joined
+            .filter((F.col("lon") >= F.col("lon_min")) & (F.col("lon") < F.col("lon_max"))
+                    & (F.col("lat") >= F.col("lat_min")) & (F.col("lat") < F.col("lat_max")))
+            .select("point_id", "label", "image_id", "level", "ty", "tx",
+                    "lon", "lat"))
+
+
+# ---------------------------------------------------------------------------
+# J6 — bounded-radius kNN via k-ring expansion + per-key top-k
+# ---------------------------------------------------------------------------
+
+
+def knn_join(points: DataFrame, tiles: DataFrame, k: int = 5,
+             ring: int = 2, res: int = DEFAULT_RES) -> DataFrame:
+    """k nearest tiles (by squared center distance, deterministic tiebreak)
+    among candidates whose cell cover intersects the point's `ring`-ring.
+
+    Semantics are *bounded-radius* kNN — the candidate set is the ring
+    neighborhood, exactly reproducible in SQL from grid coordinates, so the
+    oracle can verify rows exactly. W5: row_number over (point) ordered by
+    distance."""
+    pc = points.withColumn(
+        "ring_cell", F.explode(ring_cells_udf(res, ring)("lon", "lat")))
+    tc = with_tile_cells(tiles, res).withColumnRenamed("cell_id", "ring_cell")
+    cand = (pc.join(tc, "ring_cell")
+            .select("point_id", "lon", "lat", "image_id", "level", "ty", "tx",
+                    "lon_min", "lat_min", "lon_max", "lat_max")
+            .distinct())  # a tile may meet a point through several cells
+    cx = (F.col("lon_min") + F.col("lon_max")) / 2.0
+    cy = (F.col("lat_min") + F.col("lat_max")) / 2.0
+    d2 = (F.col("lon") - cx) * (F.col("lon") - cx) \
+        + (F.col("lat") - cy) * (F.col("lat") - cy)
+    w = Window.partitionBy("point_id").orderBy(
+        F.col("dist2").asc(), F.col("image_id").asc(), F.col("ty").asc(),
+        F.col("tx").asc())
+    return (cand.withColumn("dist2", d2)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("point_id", "image_id", "level", "ty", "tx", "dist2", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# J7 — raster↔vector zonal join + stats
+# ---------------------------------------------------------------------------
+
+
+def zonal_join(zones: DataFrame, tiles: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
+    """zones × tiles overlap join: shared cover cells, distinct pairs, exact
+    rectangle-overlap refinement. Zones are broadcast (small dim side)."""
+    cover = cover_cells_udf(res)
+    zc = zones.withColumn(
+        "cell_id", F.explode(cover("lon_min", "lat_min", "lon_max", "lat_max")))
+    zc = zc.select("zone_id", "cell_id",
+                   F.col("lon_min").alias("z_lon_min"), F.col("lat_min").alias("z_lat_min"),
+                   F.col("lon_max").alias("z_lon_max"), F.col("lat_max").alias("z_lat_max"))
+    tc = with_tile_cells(tiles, res)
+    pairs = (tc.join(F.broadcast(zc), "cell_id")
+             .filter((F.col("lon_min") < F.col("z_lon_max"))
+                     & (F.col("lon_max") > F.col("z_lon_min"))
+                     & (F.col("lat_min") < F.col("z_lat_max"))
+                     & (F.col("lat_max") > F.col("z_lat_min")))
+             .select("zone_id", "image_id", "level", "ty", "tx", "px_w", "px_h")
+             .distinct())
+    return pairs
+
+
+def zonal_stats(zones: DataFrame, tiles: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
+    """Per-zone aggregates over the joined tiles (A6): tile count, distinct
+    images, total valid pixels. Partial aggregation comes free from Catalyst."""
+    pairs = zonal_join(zones, tiles, res)
+    return (pairs.groupBy("zone_id")
+            .agg(F.count(F.lit(1)).alias("n_tiles"),
+                 F.countDistinct("image_id").alias("n_images"),
+                 F.sum(F.col("px_w").cast("long") * F.col("px_h")).alias("px_sum"))
+            )
+
+
+# ---------------------------------------------------------------------------
+# J8 — phash dedup + salted aggregation for hot keys
+# ---------------------------------------------------------------------------
+
+
+def phash_canonical(images: DataFrame) -> DataFrame:
+    """Duplicate groups by phash: canonical id = min(image_id), group size.
+    A hash aggregate (map-side partials) rather than a self-join bounds the
+    shuffle to one row per distinct key."""
+    return (images.groupBy("phash")
+            .agg(F.min("image_id").alias("canonical_image_id"),
+                 F.count(F.lit(1)).alias("dup_count")))
+
+
+def dedup_images(images: DataFrame) -> DataFrame:
+    """Keep exactly one row per phash (the smallest image_id): window
+    row_number over the key (J8)."""
+    w = Window.partitionBy("phash").orderBy("image_id")
+    return (images.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).drop("rn"))
+
+
+def salted_count_by(df: DataFrame, key: str, salt_buckets: int = 32) -> DataFrame:
+    """Two-stage salted count for skewed keys: pre-aggregate on (key, salt),
+    then merge — the hot key's rows split across `salt_buckets` reducers
+    before the final (tiny) merge. Identical result to count-by-key."""
+    salted = df.withColumn(
+        "_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_buckets)))
+    partial = salted.groupBy(key, "_salt").agg(F.count(F.lit(1)).alias("_c"))
+    return partial.groupBy(key).agg(F.sum("_c").alias("cnt"))
