@@ -1,0 +1,189 @@
+"""Deduplication operators over the documents table: exact, n-gram Jaccard,
+MinHash+LSH, SimHash.
+
+Scale shapes:
+* exact — hash aggregate on the text (one shuffled row per distinct value);
+* jaccard — blocked pairwise join: equi-join on (lang, source) blocks bounds
+  candidate pairs to block² instead of n²; the set math runs JVM-side on
+  token arrays;
+* MinHash+LSH — shingle → 64 minhashes → 16 bands × 4 rows → bucket
+  equi-join → exact-jaccard verification. Candidate generation is linear in
+  documents (bands explode), never all-pairs;
+* SimHash — 64-bit signature, banded by 16-bit chunks (any pair within
+  hamming distance <= 3·16 shares a chunk — standard pigeonhole blocking),
+  verified by exact popcount.
+
+MinHash/SimHash signatures are vectorized NumPy in Arrow batches
+(crc32-based token hashing — stable across workers and runs).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+from pyspark.sql.types import ArrayType, LongType
+
+MINHASH_PERMS = 64
+LSH_BANDS = 16
+LSH_ROWS = MINHASH_PERMS // LSH_BANDS
+_P = (1 << 61) - 1  # Mersenne prime for the permutation family
+
+# deterministic permutation parameters (fixed, seed-free)
+_A = np.array([(2 * i + 1) * 0x9E3779B97F4A7C15 % _P for i in range(MINHASH_PERMS)],
+              dtype=np.uint64)
+_B = np.array([(i * i + i + 41) * 0xC2B2AE3D27D4EB4F % _P for i in range(MINHASH_PERMS)],
+              dtype=np.uint64)
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Keep the smallest doc_id per distinct text (exact hash dedup)."""
+    w = Window.partitionBy("text").orderBy("doc_id")
+    return (docs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).drop("rn"))
+
+
+def _pair_block_join(docs: DataFrame, cols):
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"),
+                    *[F.col(c) for c in cols])
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"),
+                    *[F.col(c).alias(f"_{c}") for c in cols])
+    cond = [a[c] == b[f"_{c}"] for c in cols]
+    return (a.join(b, cond)
+            .filter(F.col("doc_a") < F.col("doc_b")))
+
+
+def jaccard_expr(text_a, text_b):
+    """Distinct-unigram Jaccard, formula mirrored by the oracle:
+    |A∩B| / (|A|+|B|-|A∩B|)."""
+    sa = F.array_distinct(F.split(text_a, " "))
+    sb = F.array_distinct(F.split(text_b, " "))
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(sa) + F.size(sb) - inter
+    return inter / (union * F.lit(1.0))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact blocked pairwise Jaccard >= threshold within (lang, source)
+    blocks (the oracle-checkable exact baseline for MinHash)."""
+    pairs = _pair_block_join(docs, ["lang", "source"])
+    jac = jaccard_expr(F.col("text_a"), F.col("text_b"))
+    return (pairs.withColumn("jaccard", F.round(jac, 9))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "lang", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _token_hashes(text: str) -> np.ndarray:
+    toks = set(text.split(" "))
+    return np.array([zlib.crc32(t.encode()) for t in toks], dtype=np.uint64)
+
+
+def minhash_udf():
+    @F.pandas_udf(ArrayType(LongType()))
+    def _sig(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            th = _token_hashes(t)
+            if len(th) == 0:
+                out.append([0] * MINHASH_PERMS)
+                continue
+            # (a*x + b) mod p for all perms × tokens, min per perm
+            vals = (th[None, :] * _A[:, None] + _B[:, None]) % np.uint64(_P)
+            out.append(vals.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(out)
+    return _sig
+
+
+def lsh_buckets(docs: DataFrame) -> DataFrame:
+    """doc → (band, bucket) rows; same-bucket docs are candidate duplicates."""
+    sig = minhash_udf()
+    d = docs.withColumn("sig", sig("text"))
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(",", *[F.col("sig")[b * LSH_ROWS + r].cast("string")
+                                     for r in range(LSH_ROWS)])).alias("bucket"))
+        for b in range(LSH_BANDS)])
+    return (d.withColumn("bb", F.explode(bands))
+            .select("doc_id", "text", F.col("bb.band").alias("band"),
+                    F.col("bb.bucket").alias("bucket")))
+
+
+def minhash_lsh_dedup(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """LSH candidates → exact-Jaccard verification >= threshold.
+
+    Near-exact vs the blocked exact baseline (recall asserted in tests);
+    unlike the baseline its cost is O(n·bands), not O(block²), so it is the
+    scale path for 10^12 rows."""
+    bb = lsh_buckets(docs)
+    a = bb.select("band", "bucket", F.col("doc_id").alias("doc_a"),
+                  F.col("text").alias("text_a"))
+    b = bb.select("band", "bucket", F.col("doc_id").alias("doc_b"),
+                  F.col("text").alias("text_b"))
+    cand = (a.join(b, ["band", "bucket"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "text_a", "text_b")
+            .distinct())
+    jac = jaccard_expr(F.col("text_a"), F.col("text_b"))
+    return (cand.withColumn("jaccard", F.round(jac, 9))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_udf():
+    @F.pandas_udf(LongType())
+    def _sim(text: pd.Series) -> pd.Series:
+        out = np.zeros(len(text), dtype=np.int64)
+        for i, t in enumerate(text):
+            toks = t.split(" ")
+            if not toks:
+                continue
+            hs = np.array([zlib.crc32(tok.encode()) * 0x9E3779B97F4A7C15 % (1 << 64)
+                           for tok in toks], dtype=np.uint64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int32)
+            vote = (2 * bits - 1).sum(axis=0)
+            sh = np.uint64(0)
+            for k in np.nonzero(vote > 0)[0]:
+                sh |= np.uint64(1) << np.uint64(k)
+            out[i] = np.int64(sh.astype(np.int64))
+        return pd.Series(out)
+    return _sim
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming, blocked by
+    16-bit signature chunks (pigeonhole: <=3 differing bits over 4 chunks
+    guarantees one identical chunk)."""
+    d = docs.withColumn("simhash", simhash_udf()("text"))
+    chunks = F.array(*[
+        F.struct(F.lit(c).alias("chunk"),
+                 F.shiftrightunsigned(F.col("simhash"), 16 * c)
+                 .bitwiseAND(F.lit(0xFFFF)).alias("key"))
+        for c in range(4)])
+    e = (d.withColumn("ck", F.explode(chunks))
+         .select("doc_id", "simhash", F.col("ck.chunk").alias("chunk"),
+                 F.col("ck.key").alias("key")))
+    a = e.select("chunk", "key", F.col("doc_id").alias("doc_a"),
+                 F.col("simhash").alias("sim_a"))
+    b = e.select("chunk", "key", F.col("doc_id").alias("doc_b"),
+                 F.col("simhash").alias("sim_b"))
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (a.join(b, ["chunk", "key"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", ham.alias("hamming"))
+            .distinct()
+            .filter(F.col("hamming") <= max_hamming))

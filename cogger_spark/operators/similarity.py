@@ -1,0 +1,125 @@
+"""Similarity search over an embedding column (array<float>).
+
+* brute-force cosine top-k — the exact baseline: broadcast the (small) query
+  set against all vectors, dot products computed JVM-side with
+  zip_with/aggregate in double precision (no Python in the loop);
+* near-dup pairs — blocked exact cosine >= threshold;
+* LSH-bucketed ANN — random-hyperplane signatures (multiple tables), bucket
+  equi-join, exact re-rank of candidates: the scale path (candidates per
+  query ~ bucket size, not n).
+
+Cosine is computed as dot(a,b)/(sqrt(dot(a,a))*sqrt(dot(b,b))) with
+left-to-right double accumulation — the exact shape the DuckDB oracle
+(list_dot_product over DOUBLE[]) reproduces.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+from pyspark.sql.types import ArrayType, LongType
+
+N_TABLES = 8
+N_PLANES = 6  # bits per table → 64 buckets/table; ~n/8 candidates/query
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_expr(a, b):
+    ad = a.cast("array<double>")
+    bd = b.cast("array<double>")
+    return _dot(ad, bd) / (F.sqrt(_dot(ad, ad)) * F.sqrt(_dot(bd, bd)))
+
+
+def brute_force_topk(embeddings: DataFrame, k: int = 10,
+                     query_mod: int = 50) -> DataFrame:
+    """Exact cosine top-k per query (queries = vec_id % query_mod == 0),
+    excluding self; deterministic tiebreak on vec_id. The query side is
+    broadcast — the big side is scanned once, no shuffle of the corpus."""
+    q = (embeddings.filter(F.col("vec_id") % query_mod == 0)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb")))
+    cand = (embeddings.alias("c").crossJoin(F.broadcast(q))
+            .filter(F.col("vec_id") != F.col("query_id")))
+    cos = F.round(cosine_expr(F.col("q_emb"), F.col("embedding")), 9)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (cand.withColumn("cosine", cos)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "cosine",
+                    F.col("rank").cast("long").alias("rank")))
+
+
+def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Exact near-duplicate pairs (cosine >= threshold) within label blocks —
+    the embedding analogue of blocked Jaccard dedup."""
+    a = embeddings.select("label", F.col("vec_id").alias("vec_a"),
+                          F.col("embedding").alias("emb_a"))
+    b = embeddings.select("label", F.col("vec_id").alias("vec_b"),
+                          F.col("embedding").alias("emb_b"))
+    cos = F.round(cosine_expr(F.col("emb_a"), F.col("emb_b")), 9)
+    return (a.join(b, "label")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .withColumn("cosine", cos)
+            .filter(F.col("cosine") >= threshold)
+            .select("label", "vec_a", "vec_b", "cosine"))
+
+
+# ---------------------------------------------------------------------------
+# LSH ANN (random hyperplanes, multiple tables)
+# ---------------------------------------------------------------------------
+
+
+def _planes(dim: int) -> np.ndarray:
+    rng = np.random.RandomState(42)  # fixed — signatures must be stable
+    return rng.standard_normal((N_TABLES, N_PLANES, dim))
+
+
+def hyperplane_sig_udf(dim: int):
+    planes = _planes(dim)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _sig(emb: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(e, dtype=np.float64) for e in emb])
+        out = []
+        for t in range(N_TABLES):
+            proj = mat @ planes[t].T  # (n, N_PLANES)
+            bits = (proj > 0).astype(np.int64)
+            out.append((bits * (1 << np.arange(N_PLANES))).sum(axis=1))
+        sigs = np.stack(out, axis=1)  # (n, N_TABLES)
+        return pd.Series([s.tolist() for s in sigs])
+    return _sig
+
+
+def ann_lsh_topk(embeddings: DataFrame, k: int = 10, query_mod: int = 50,
+                 dim: int = 64) -> DataFrame:
+    """Approximate top-k: hyperplane-LSH buckets (N_TABLES tables) generate
+    candidates via equi-join, exact cosine re-ranks them. Same output schema
+    as brute_force_topk; recall measured in tests."""
+    sig = hyperplane_sig_udf(dim)
+    e = embeddings.withColumn("sigs", sig("embedding"))
+    tables = F.array(*[
+        F.struct(F.lit(t).alias("table"), F.col("sigs")[t].alias("bucket"))
+        for t in range(N_TABLES)])
+    eb = (e.withColumn("tb", F.explode(tables))
+          .select("vec_id", "embedding",
+                  F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket")))
+    q = (eb.filter(F.col("vec_id") % query_mod == 0)
+         .select("table", "bucket", F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb")))
+    cand = (eb.join(q, ["table", "bucket"])
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "q_emb", "vec_id", "embedding")
+            .distinct())
+    cos = F.round(cosine_expr(F.col("q_emb"), F.col("embedding")), 9)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (cand.withColumn("cosine", cos)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "cosine",
+                    F.col("rank").cast("long").alias("rank")))

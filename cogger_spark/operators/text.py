@@ -1,0 +1,87 @@
+"""Text-analysis operators over the documents table (training-data pipeline
+components): token stats, quality scoring, language-ID heuristic, document
+fingerprinting.
+
+All hot-path expressions are built-in pyspark.sql.functions (JVM-side,
+whole-stage codegen) — no Python UDFs. Float outputs are rounded so the
+DuckDB mirrors compare bit-stable.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+# tiny English-marker stopword list shared with the oracles (order matters
+# only for readability; membership drives the scores)
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "it")
+
+
+def _toks():
+    return F.split(F.col("text"), " ")
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token counts + average token length (whitespace
+    tokenizer; the BPE-ish regex variant is token_count_bpe)."""
+    toks = _toks()
+    n = F.size(toks)
+    total_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x)
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.round(total_len / (n * F.lit(1.0)), 6).alias("avg_token_len"),
+    )
+
+
+def token_count_bpe(docs: DataFrame) -> DataFrame:
+    """Sub-word-ish token count: split on whitespace AND count ~4-char chunks
+    of long words (a cheap BPE proxy: ceil(len/4) pieces per word)."""
+    toks = _toks()
+    pieces = F.aggregate(
+        F.transform(toks, lambda x: F.ceil(F.length(x) / F.lit(4.0)).cast("long")),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+    return docs.select("doc_id", F.size(toks).cast("long").alias("n_words"),
+                       pieces.alias("n_bpe_tokens"))
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length + stopword-ratio quality heuristic, mirrored by the oracle:
+    quality = round(least(n_chars,500)/500*0.6 + stop_ratio*0.4, 6)."""
+    toks = _toks()
+    n = F.size(toks)
+    stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    stop_ratio = stop / (n * F.lit(1.0))
+    q = F.round(F.least(F.col("n_chars"), F.lit(500)) / F.lit(500.0) * 0.6
+                + stop_ratio * 0.4, 6)
+    return docs.select("doc_id", "lang",
+                       F.round(stop_ratio, 6).alias("stop_ratio"),
+                       q.alias("quality"))
+
+
+def lang_id(docs: DataFrame, threshold: float = 0.05) -> DataFrame:
+    """n-gram-free language heuristic: English-marker stopword density.
+    Deterministic and SQL-mirrored; accuracy is whatever the heuristic earns
+    (the point is the operator shape, not a real langid model)."""
+    toks = _toks()
+    ratio = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) / (F.size(toks) * F.lit(1.0))
+    pred = F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("unk"))
+    return docs.select("doc_id", "lang", pred.alias("pred_lang"),
+                       (pred == F.col("lang")).alias("match"))
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Content fingerprint: md5 of the exact text (dedup key), plus a rolling
+    polynomial hash over tokens (first-char/length features — deliberately
+    SQL-expressible so the oracle reproduces it)."""
+    toks = _toks()
+    rolling = F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * 31 + F.ascii(x) * 256 + F.length(x),
+                              F.lit(2147483647).cast("long")))
+    return docs.select(
+        "doc_id",
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("md5_fp"),
+        rolling.alias("rolling_fp"))

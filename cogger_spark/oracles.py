@@ -192,3 +192,157 @@ SELECT image_id, w, h, fmt, phash FROM (
   FROM {IMAGES}
 ) WHERE rn = 1
 """
+
+# ---------------------------------------------------------------------------
+# documents / embeddings (driver-registered views) — training-data pipeline
+# ---------------------------------------------------------------------------
+
+DOC_TOKEN_STATS = """
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+  ROUND(list_sum(list_transform(string_split(text, ' '), x -> length(x)))
+        / (len(string_split(text, ' ')) * 1.0), 6) AS avg_token_len
+FROM documents
+"""
+
+DOC_TOKEN_BPE = """
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+  CAST(list_sum(list_transform(string_split(text, ' '),
+       x -> CAST(CEIL(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+_STOP_SQL = "('the','a','of','and','to','in','is','on','for','it')"
+
+DOC_QUALITY = f"""
+SELECT doc_id, lang,
+  ROUND(len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL}))
+        / (len(string_split(text, ' ')) * 1.0), 6) AS stop_ratio,
+  ROUND(LEAST(n_chars, 500) / 500.0 * 0.6
+        + (len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL}))
+           / (len(string_split(text, ' ')) * 1.0)) * 0.4, 6) AS quality
+FROM documents
+"""
+
+DOC_LANGID = f"""
+SELECT doc_id, lang,
+  CASE WHEN len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL}))
+            / (len(string_split(text, ' ')) * 1.0) >= 0.05
+       THEN 'en' ELSE 'unk' END AS pred_lang,
+  (CASE WHEN len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL}))
+             / (len(string_split(text, ' ')) * 1.0) >= 0.05
+        THEN 'en' ELSE 'unk' END) = lang AS match
+FROM documents
+"""
+
+DOC_FINGERPRINT = """
+SELECT doc_id,
+  md5(text) AS md5_fp,
+  CAST(list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(string_split(text, ' '),
+        x -> CAST(ascii(x) * 256 + length(x) AS BIGINT))),
+    (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT) AS rolling_fp
+FROM documents
+"""
+
+EXACT_DEDUP_DOCS = """
+SELECT doc_id, lang, source, n_chars FROM (
+  SELECT doc_id, lang, source, n_chars,
+    ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+NGRAM_JACCARD_PAIRS = """
+WITH d AS (
+  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS s
+  FROM documents
+)
+SELECT doc_a, doc_b, lang, jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+    ROUND(len(list_filter(a.s, x -> list_contains(b.s, x)))
+      / ((len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) * 1.0),
+      9) AS jaccard
+  FROM d a JOIN d b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+) WHERE jaccard >= 0.5
+"""
+
+_COS = ("list_dot_product(a.emb, b.emb) / "
+        "(SQRT(list_dot_product(a.emb, a.emb)) * SQRT(list_dot_product(b.emb, b.emb)))")
+
+EMBED_NEARDUP = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+SELECT label, vec_a, vec_b, cosine FROM (
+  SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+    ROUND({_COS}, 9) AS cosine
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+) WHERE cosine >= 0.8
+"""
+
+ANN_COSINE_TOPK = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id % 50 = 0),
+cand AS (
+  SELECT q.query_id, e.vec_id,
+    ROUND(list_dot_product(q.q_emb, e.emb)
+      / (SQRT(list_dot_product(q.q_emb, q.q_emb)) * SQRT(list_dot_product(e.emb, e.emb))),
+      9) AS cosine
+  FROM e, q WHERE e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER
+    (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM cand
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+# ---------------------------------------------------------------------------
+# generic relational queries over the TPC-H-ish views (engine sanity breadth)
+# ---------------------------------------------------------------------------
+
+PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+  ROUND(SUM(l_quantity), 2) AS sum_qty,
+  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORDERS_TOPK_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+NATION_REVENUE = """
+SELECT n.n_name,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  ROUND(SUM(o.o_totalprice), 2) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+EVENTS_BY_TYPE = """
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+  ROUND(SUM(value), 2) AS sum_value,
+  CAST(MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS BIGINT) AS first_epoch,
+  CAST(MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS BIGINT) AS last_epoch
+FROM events
+GROUP BY event_type
+"""

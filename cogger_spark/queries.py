@@ -99,5 +99,142 @@ SPATIAL_QUERIES = {
 }
 
 
-def w_knn(spark: SparkSession, sf_dir: str) -> DataFrame:  # pragma: no cover
-    return q_knn_join(spark, sf_dir)
+# --- documents / embeddings (sf_dir tables) ---------------------------------
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_doc_token_stats(spark, sf_dir):
+    from .operators.text import token_stats
+    return token_stats(_tbl(spark, sf_dir, "documents"))
+
+
+def q_doc_token_bpe(spark, sf_dir):
+    from .operators.text import token_count_bpe
+    return token_count_bpe(_tbl(spark, sf_dir, "documents"))
+
+
+def q_doc_quality(spark, sf_dir):
+    from .operators.text import quality_score
+    return quality_score(_tbl(spark, sf_dir, "documents"))
+
+
+def q_doc_langid(spark, sf_dir):
+    from .operators.text import lang_id
+    return lang_id(_tbl(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from .operators.text import fingerprint
+    return fingerprint(_tbl(spark, sf_dir, "documents"))
+
+
+def q_exact_dedup_docs(spark, sf_dir):
+    from .operators.dedup import exact_dedup
+    return exact_dedup(_tbl(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "source", "n_chars")
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    from .operators.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_tbl(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_minhash_lsh_dedup(spark, sf_dir):
+    from .operators.dedup import minhash_lsh_dedup
+    return minhash_lsh_dedup(_tbl(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from .operators.dedup import simhash_pairs
+    return simhash_pairs(_tbl(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def q_embed_neardup(spark, sf_dir):
+    from .operators.similarity import cosine_neardup_pairs
+    return cosine_neardup_pairs(_tbl(spark, sf_dir, "embeddings"), threshold=0.8)
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from .operators.similarity import brute_force_topk
+    return brute_force_topk(_tbl(spark, sf_dir, "embeddings"), k=10, query_mod=50)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    from .operators.similarity import ann_lsh_topk
+    return ann_lsh_topk(_tbl(spark, sf_dir, "embeddings"), k=10, query_mod=50)
+
+
+DOC_QUERIES = {
+    "doc_token_stats": q_doc_token_stats,
+    "doc_token_bpe": q_doc_token_bpe,
+    "doc_quality": q_doc_quality,
+    "doc_langid": q_doc_langid,
+    "doc_fingerprint": q_doc_fingerprint,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_lsh_dedup": q_minhash_lsh_dedup,    # no oracle (LSH buckets)
+    "simhash_pairs": q_simhash_pairs,            # no oracle (crc signatures)
+    "embed_neardup": q_embed_neardup,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,              # no oracle (LSH buckets)
+}
+
+
+# --- generic relational queries (sf_dir TPC-H-ish views) --------------------
+
+def q_pricing_summary(spark, sf_dir):
+    li = _tbl(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc_price"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+def q_orders_topk_per_customer(spark, sf_dir):
+    o = _tbl(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (o.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("o_custkey", "o_orderkey", "o_totalprice",
+                    F.col("rn").cast("long").alias("rn")))
+
+
+def q_nation_revenue(spark, sf_dir):
+    o = _tbl(spark, sf_dir, "orders")
+    c = _tbl(spark, sf_dir, "customer")
+    n = _tbl(spark, sf_dir, "nation")
+    return (o.join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+def q_events_by_type(spark, sf_dir):
+    e = _tbl(spark, sf_dir, "events")
+    # parquet timestamps are NTZ; session tz is pinned UTC so the cast chain
+    # equals DuckDB's epoch()
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    return (e.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.round(F.sum("value"), 2).alias("sum_value"),
+                 F.min(epoch).alias("first_epoch"),
+                 F.max(epoch).alias("last_epoch")))
+
+
+RELATIONAL_QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "orders_topk_per_customer": q_orders_topk_per_customer,
+    "nation_revenue": q_nation_revenue,
+    "events_by_type": q_events_by_type,
+}
+
+
+ALL_QUERIES = {**SPATIAL_QUERIES, **DOC_QUERIES, **RELATIONAL_QUERIES}

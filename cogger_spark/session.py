@@ -32,6 +32,7 @@ def get_spark(app_name: str = "cogger-spark", cores: int | None = None,
     b = (SparkSession.builder
          .appName(app_name)
          .master(f"local[{cores}]")
+         .config("spark.sql.session.timeZone", "UTC")
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
          .config("spark.sql.adaptive.skewJoin.enabled", "true")

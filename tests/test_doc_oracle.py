@@ -1,0 +1,101 @@
+"""documents/embeddings/TPC-H query vs DuckDB oracle comparisons, with the
+driver's view-registration convention reproduced locally."""
+
+import duckdb
+import pytest
+
+from cogger_spark import oracles, queries
+from tests.test_spatial_oracle import _normalize, compare as _compare
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def compare(duck, spark_df, sql, **kw):
+    got = _normalize(spark_df.toPandas())
+    want = _normalize(duck.execute(sql).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want), f"rows {len(got)} != {len(want)}"
+    import numpy as np
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if np.issubdtype(g.dtype, np.floating) or np.issubdtype(w.dtype, np.floating):
+            assert np.array_equal(g.to_numpy(), w.to_numpy()), f"col {c} differs"
+        else:
+            assert g.astype(object).tolist() == w.astype(object).tolist(), \
+                f"col {c} differs"
+
+
+ORACLE_CASES = [
+    ("doc_token_stats", "DOC_TOKEN_STATS"),
+    ("doc_token_bpe", "DOC_TOKEN_BPE"),
+    ("doc_quality", "DOC_QUALITY"),
+    ("doc_langid", "DOC_LANGID"),
+    ("doc_fingerprint", "DOC_FINGERPRINT"),
+    ("exact_dedup_docs", "EXACT_DEDUP_DOCS"),
+    ("ngram_jaccard_pairs", "NGRAM_JACCARD_PAIRS"),
+    ("embed_neardup", "EMBED_NEARDUP"),
+    ("ann_cosine_topk", "ANN_COSINE_TOPK"),
+    ("pricing_summary", "PRICING_SUMMARY"),
+    ("orders_topk_per_customer", "ORDERS_TOPK_PER_CUSTOMER"),
+    ("nation_revenue", "NATION_REVENUE"),
+    ("events_by_type", "EVENTS_BY_TYPE"),
+]
+
+
+@pytest.mark.parametrize("qname,oname", ORACLE_CASES, ids=[c[0] for c in ORACLE_CASES])
+def test_doc_query_matches_oracle(spark, duck, qname, oname):
+    compare(duck, queries.ALL_QUERIES[qname](spark, SF_DIR),
+            getattr(oracles, oname))
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    """LSH candidates + exact verification must recover (nearly) all exact
+    blocked-Jaccard pairs; precision is exact by construction."""
+    exact = {(r.doc_a, r.doc_b)
+             for r in queries.q_ngram_jaccard_pairs(spark, SF_DIR).collect()}
+    lsh = {(r.doc_a, r.doc_b)
+           for r in queries.q_minhash_lsh_dedup(spark, SF_DIR).collect()}
+    # LSH is not blocked by (lang, source), so it may legitimately find MORE
+    # pairs; recall is measured against the blocked exact set
+    if exact:
+        recall = len(exact & lsh) / len(exact)
+        assert recall >= 0.9, f"LSH recall {recall:.2f} ({len(exact)} exact pairs)"
+    for r in queries.q_minhash_lsh_dedup(spark, SF_DIR).collect():
+        assert r.jaccard >= 0.5  # verified exactly
+
+
+def test_ann_lsh_recall_vs_brute_force(spark):
+    bf = queries.q_ann_cosine_topk(spark, SF_DIR).collect()
+    lsh = queries.q_ann_lsh_topk(spark, SF_DIR).collect()
+    bf_sets = {}
+    for r in bf:
+        bf_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    lsh_sets = {}
+    for r in lsh:
+        lsh_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(bf_sets[q] & lsh_sets.get(q, set())) / len(bf_sets[q])
+               for q in bf_sets]
+    mean_recall = sum(recalls) / len(recalls)
+    # hyperplane LSH on random gaussian vectors: modest but nonzero recall
+    assert mean_recall >= 0.2, f"ANN recall {mean_recall:.2f}"
+
+
+def test_simhash_pairs_runs_and_is_symmetric_free(spark):
+    rows = queries.q_simhash_pairs(spark, SF_DIR).collect()
+    seen = set()
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert (r.doc_a, r.doc_b) not in seen
+        seen.add((r.doc_a, r.doc_b))
+        assert r.hamming <= 3
