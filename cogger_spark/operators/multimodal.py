@@ -1,0 +1,136 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Real Spark plumbing (schemas, Arrow batch shapes, mapInPandas signatures,
+partitioning) with deterministic NumPy kernels for the formats decodable
+with the stdlib; png/jpeg/mp3/h264-style codecs are STUBBED behind
+NotImplementedError until a codec library exists in the environment
+(FIXTURES.md: fmt values reserved).
+
+Conventions:
+* image  — bytes = (h, w, bands) u8, raw or deflate (imagecodecs.py);
+* audio  — bytes = mono int16 PCM little-endian; metadata: sample_rate;
+* video  — bytes = n_frames × (h, w, bands) u8 concatenated (a deterministic
+  fake layout standing in for a real container until codecs exist).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.imagecodecs import decode_image
+
+_STUB_FMTS = {"png", "jpeg", "webp", "mp3", "aac", "h264", "av1"}
+
+
+def _decode(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    import zlib
+    if fmt in _STUB_FMTS:
+        raise NotImplementedError(
+            f"{fmt} requires a codec library absent from this environment")
+    buf = zlib.decompress(data) if fmt == "deflate" else data
+    k = len(buf) // (w * h)
+    return decode_image(buf, w, h, "raw", k)
+
+
+def image_features(images: DataFrame) -> DataFrame:
+    """Per-band mean/std feature vector — the feature-extraction plumbing
+    (schema: array<double>), vectorized over Arrow batches."""
+    schema = "image_id string, n_bands int, features array<double>"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nbs, feats = [], [], []
+            for r in pdf.itertuples(index=False):
+                px = _decode(r.bytes, int(r.w), int(r.h), r.fmt)
+                b = px.shape[2]
+                f = np.concatenate([px.mean(axis=(0, 1)), px.std(axis=(0, 1))])
+                ids.append(r.image_id)
+                nbs.append(b)
+                feats.append([float(x) for x in f])
+            yield pd.DataFrame({"image_id": ids, "n_bands": nbs, "features": feats})
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+                 .mapInPandas(kernel, schema=schema)
+
+
+def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize (deterministic, codec-free); output stays an
+    opaque binary column with updated metadata."""
+    schema = "image_id string, bytes binary, w int, h int, fmt string"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "bytes": [], "w": [], "h": [], "fmt": []}
+            for r in pdf.itertuples(index=False):
+                px = _decode(r.bytes, int(r.w), int(r.h), r.fmt)
+                yi = (np.arange(out_h) * r.h // out_h).astype(np.int64)
+                xi = (np.arange(out_w) * r.w // out_w).astype(np.int64)
+                rs = px[yi][:, xi]
+                out["image_id"].append(r.image_id)
+                out["bytes"].append(rs.tobytes())
+                out["w"].append(out_w)
+                out["h"].append(out_h)
+                out["fmt"].append("raw")
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+                 .mapInPandas(kernel, schema=schema)
+
+
+def sample_frames(videos: DataFrame, every_k: int = 2) -> DataFrame:
+    """Video frame sampling over the deterministic fake layout: explode every
+    k-th frame into an image row (real partitioning/batching; the container
+    demux is what a codec library would replace)."""
+    schema = "video_id string, frame_idx int, bytes binary, w int, h int"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"video_id": [], "frame_idx": [], "bytes": [], "w": [], "h": []}
+            for r in pdf.itertuples(index=False):
+                if r.fmt in _STUB_FMTS:
+                    raise NotImplementedError(f"{r.fmt} demux needs a codec library")
+                frame = int(r.w) * int(r.h) * int(r.bands)
+                n = len(r.bytes) // frame
+                for i in range(0, n, every_k):
+                    out["video_id"].append(r.video_id)
+                    out["frame_idx"].append(i)
+                    out["bytes"].append(r.bytes[i * frame:(i + 1) * frame])
+                    out["w"].append(int(r.w))
+                    out["h"].append(int(r.h))
+            yield pd.DataFrame(out)
+
+    return videos.select("video_id", "bytes", "w", "h", "bands", "fmt") \
+                 .mapInPandas(kernel, schema=schema)
+
+
+def audio_features(audio: DataFrame, window: int = 1024) -> DataFrame:
+    """Windowed RMS over int16 PCM — audio feature plumbing."""
+    schema = "audio_id string, n_windows int, rms array<double>"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"audio_id": [], "n_windows": [], "rms": []}
+            for r in pdf.itertuples(index=False):
+                if r.fmt in _STUB_FMTS:
+                    raise NotImplementedError(f"{r.fmt} decode needs a codec library")
+                pcm = np.frombuffer(r.bytes, dtype="<i2").astype(np.float64)
+                n = len(pcm) // window
+                if n == 0:
+                    out["audio_id"].append(r.audio_id)
+                    out["n_windows"].append(0)
+                    out["rms"].append([])
+                    continue
+                w = pcm[: n * window].reshape(n, window)
+                rms = np.sqrt((w * w).mean(axis=1))
+                out["audio_id"].append(r.audio_id)
+                out["n_windows"].append(n)
+                out["rms"].append([float(x) for x in rms])
+            yield pd.DataFrame(out)
+
+    return audio.select("audio_id", "bytes", "fmt") \
+                .mapInPandas(kernel, schema=schema)

@@ -1,0 +1,128 @@
+"""Iceberg-semantics shim over partitioned Parquet (S8).
+
+No iceberg-spark runtime jar exists in this environment (SURVEY.md §7), so
+the engine ships a thin table layer with the Iceberg behaviors the north rule
+actually relies on, over plain partitioned parquet:
+
+* hidden partitioning: bucket(image_id) % N + the low-cardinality `fmt`
+  column (FIXTURES.md) — readers filter on data columns and partition
+  pruning happens underneath;
+* snapshot isolation + time travel: every append writes a new snapshot JSON
+  listing its files; reads pin a snapshot (default: latest) and only read
+  its files;
+* metadata tables: snapshots / files (row counts per partition).
+
+The public API (write_table / append / read_table / snapshots) is the seam:
+swap the implementation for real Iceberg catalog calls when the runtime jar
+is present — call sites don't change.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import time
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+META = "_shim_metadata"
+
+
+def _meta_dir(path) -> pathlib.Path:
+    return pathlib.Path(path) / META
+
+
+def _snapshot_files(path, snapshot_id: str | None):
+    md = _meta_dir(path)
+    snaps = sorted(md.glob("snap_*.json"))
+    if not snaps:
+        raise FileNotFoundError(f"no snapshots under {path}")
+    chain = [json.loads(s.read_text()) for s in snaps]
+    if snapshot_id is None:
+        chosen = chain
+    else:
+        chosen = []
+        for rec in chain:
+            chosen.append(rec)
+            if rec["snapshot_id"] == snapshot_id:
+                break
+        else:
+            raise KeyError(f"snapshot {snapshot_id} not found")
+    files = []
+    for rec in chosen:
+        files.extend(rec["files"])
+    return files, chain
+
+
+def write_table(df: DataFrame, path: str, n_buckets: int = 16,
+                partition_cols=("fmt",)) -> str:
+    """Create the table: partition by (fmt, bucket(image_id)%N), snapshot 0."""
+    pathlib.Path(path).mkdir(parents=True, exist_ok=True)
+    return append(df, path, n_buckets=n_buckets, partition_cols=partition_cols,
+                  overwrite=True)
+
+
+def append(df: DataFrame, path: str, n_buckets: int = 16,
+           partition_cols=("fmt",), overwrite: bool = False) -> str:
+    snap_id = uuid.uuid4().hex[:12]
+    data_dir = pathlib.Path(path) / f"data_{snap_id}"
+    out = df.withColumn(
+        "p_bucket", F.pmod(F.xxhash64("image_id"), F.lit(n_buckets)).cast("int"))
+    (out.write.mode("overwrite")
+        .partitionBy(*partition_cols, "p_bucket")
+        .parquet(str(data_dir)))
+    files = [str(p.relative_to(path)) for p in data_dir.rglob("*.parquet")]
+    md = _meta_dir(path)
+    if overwrite and md.exists():
+        for f in md.glob("snap_*.json"):
+            f.unlink()
+    md.mkdir(parents=True, exist_ok=True)
+    seq = len(list(md.glob("snap_*.json")))
+    rec = {
+        "snapshot_id": snap_id,
+        "sequence": seq,
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "operation": "overwrite" if overwrite else "append",
+        "files": files,
+        "partition_spec": list(partition_cols) + [f"bucket(image_id)%{n_buckets}"],
+    }
+    (md / f"snap_{seq:05d}_{snap_id}.json").write_text(json.dumps(rec))
+    return snap_id
+
+
+def read_table(spark: SparkSession, path: str,
+               snapshot_id: str | None = None) -> DataFrame:
+    """Read a snapshot (default latest). Filters on fmt / p_bucket prune
+    partitions; `bucket_for` computes the bucket of an image_id so point
+    lookups can prune to one directory."""
+    files, _ = _snapshot_files(path, snapshot_id)
+    by_root: dict[str, list[str]] = {}
+    for f in files:
+        root = f.split("/", 1)[0]  # data_<snapshot> dir
+        by_root.setdefault(root, []).append(f"{path}/{f}")
+    df = None
+    for root, group in sorted(by_root.items()):
+        part = (spark.read
+                .option("basePath", f"{path}/{root}")
+                .parquet(*group))
+        df = part if df is None else df.unionByName(part)
+    return df
+
+
+def bucket_for(image_id_col, n_buckets: int = 16):
+    return F.pmod(F.xxhash64(image_id_col), F.lit(n_buckets)).cast("int")
+
+
+def snapshots(spark: SparkSession, path: str) -> DataFrame:
+    _, chain = _snapshot_files(path, None)
+    rows = [{k: v for k, v in rec.items() if k != "files"} | {"n_files": len(rec["files"])}
+            for rec in chain]
+    return spark.createDataFrame(rows)
+
+
+def files_table(spark: SparkSession, path: str) -> DataFrame:
+    files, _ = _snapshot_files(path, None)
+    rows = [{"file": f} for f in files]
+    return spark.createDataFrame(rows)

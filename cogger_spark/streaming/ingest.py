@@ -1,0 +1,74 @@
+"""Incremental ingest over the image table (SURVEY.md §2.8 stretch path).
+
+The reference is pure batch; the engine adds Structured Streaming ingest for
+the arrival-driven case: new image files land in a directory, each
+micro-batch is tiled through the same batch operators via foreachBatch, and
+Trigger.AvailableNow drains the backlog then stops — giving incremental,
+exactly-once (per sink commit) processing with the batch code path reused
+verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.types import (
+    BinaryType, IntegerType, LongType, StringType, StructField, StructType)
+
+IMAGE_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("bytes", BinaryType()),
+    StructField("w", IntegerType()),
+    StructField("h", IntegerType()),
+    StructField("fmt", StringType()),
+    StructField("caption", StringType()),
+    StructField("phash", LongType()),
+])
+
+
+def stream_tile_manifest(spark: SparkSession, in_dir: str, out_dir: str,
+                         checkpoint_dir: str, tile: int = 512) -> None:
+    """readStream over the image directory → per-batch tile manifest append.
+
+    Metadata-only (no pixel decode) so the stream keeps up with arrival rate;
+    the heavy COG path is stream_cog below."""
+    from ..operators.spatial import tile_manifest
+
+    stream = (spark.readStream.schema(IMAGE_SCHEMA)
+              .option("maxFilesPerTrigger", 4)
+              .parquet(in_dir))
+
+    def handle(batch_df, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        (tile_manifest(batch_df, tile=tile, level=None)
+         .write.mode("append").parquet(out_dir))
+
+    (stream.writeStream
+     .foreachBatch(handle)
+     .option("checkpointLocation", checkpoint_dir)
+     .trigger(availableNow=True)
+     .start()
+     .awaitTermination())
+
+
+def stream_cog(spark: SparkSession, in_dir: str, out_dir: str,
+               checkpoint_dir: str, tile: int = 512) -> None:
+    """Full COG pipeline per micro-batch (decode → pyramid → assemble)."""
+    from ..operators.tiling import cog_pipeline
+
+    stream = (spark.readStream.schema(IMAGE_SCHEMA)
+              .option("maxFilesPerTrigger", 2)
+              .parquet(in_dir))
+
+    def handle(batch_df, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        (cog_pipeline(batch_df, tile=tile)
+         .write.mode("append").parquet(out_dir))
+
+    (stream.writeStream
+     .foreachBatch(handle)
+     .option("checkpointLocation", checkpoint_dir)
+     .trigger(availableNow=True)
+     .start()
+     .awaitTermination())

@@ -1,0 +1,121 @@
+"""Checkpoint/resume, Iceberg-shim, streaming ingest, multimodal plumbing."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from cogger_spark.operators.spatial import tile_manifest
+from cogger_spark.plans import checkpoint as ck
+from cogger_spark.sources import iceberg_shim as shim
+
+
+def _job(images):
+    return tile_manifest(images, tile=512, level=None)
+
+
+def test_checkpoint_resume_equals_uninterrupted(spark, smoke_images, tmp_path):
+    images = spark.read.parquet(smoke_images)
+    full_dir, full_ck = str(tmp_path / "full"), str(tmp_path / "full_ck")
+    part_dir, part_ck = str(tmp_path / "part"), str(tmp_path / "part_ck")
+
+    ck.run_checkpointed(spark, images, full_dir, full_ck, n_buckets=8, job=_job)
+    # crash after 3 buckets, then resume
+    ck.run_checkpointed(spark, images, part_dir, part_ck, n_buckets=8,
+                        job=_job, stop_after=3)
+    assert len(ck.completed_buckets(part_ck)) == 3
+    assert len(ck.remaining_buckets(8, part_ck)) == 5
+    ck.run_checkpointed(spark, images, part_dir, part_ck, n_buckets=8, job=_job)
+    assert ck.remaining_buckets(8, part_ck) == []
+
+    a = spark.read.parquet(full_dir).orderBy("image_id", "level", "ty", "tx")
+    b = spark.read.parquet(part_dir).orderBy("image_id", "level", "ty", "tx")
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    lin = ck.lineage_table(spark, part_ck)
+    assert lin.count() == 8
+    met = ck.metrics_table(spark, part_ck).collect()[0]
+    assert met.buckets_done == 8
+    assert met.rows_out == a.count()
+
+
+def test_iceberg_shim_partition_pruning_and_time_travel(spark, smoke_images, tmp_path):
+    images = spark.read.parquet(smoke_images)
+    tbl = str(tmp_path / "img_table")
+    snap0 = shim.write_table(images.filter(F.col("fmt") == "raw"), tbl, n_buckets=4)
+    snap1 = shim.append(images.filter(F.col("fmt") == "deflate"), tbl, n_buckets=4)
+
+    latest = shim.read_table(spark, tbl)
+    assert latest.count() == images.count()
+
+    # time travel: snapshot 0 has only the raw rows
+    at0 = shim.read_table(spark, tbl, snapshot_id=snap0)
+    assert at0.count() == images.filter(F.col("fmt") == "raw").count()
+
+    # partition pruning: a fmt filter must prune to fmt=... directories
+    plan = latest.filter(F.col("fmt") == "raw")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "fmt=raw" in plan or "PartitionFilters: [isnotnull(fmt" in plan, plan
+
+    snaps = shim.snapshots(spark, tbl).collect()
+    assert [s.operation for s in sorted(snaps, key=lambda s: s.sequence)] == \
+        ["overwrite", "append"]
+    assert {s.snapshot_id for s in snaps} == {snap0, snap1}
+
+    # bucket pruning: one image's bucket filter reads a subset of partitions
+    one = latest.filter(shim.bucket_for(F.col("image_id"), 4) == 0)
+    assert 0 < one.count() < images.count()
+
+
+def test_streaming_available_now_matches_batch(spark, smoke_images, tmp_path):
+    from cogger_spark.streaming.ingest import stream_tile_manifest
+    in_dir = str(tmp_path / "in")
+    spark.read.parquet(smoke_images).repartition(4).write.parquet(in_dir)
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream_tile_manifest(spark, in_dir, out_dir, ckpt)
+    got = spark.read.parquet(out_dir)
+    want = tile_manifest(spark.read.parquet(in_dir), level=None)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+
+def test_multimodal_image_features_and_resize(spark, smoke_images):
+    from cogger_spark.operators.multimodal import image_features, resize_images
+    images = spark.read.parquet(smoke_images).limit(6)
+    feats = image_features(images).collect()
+    assert len(feats) == 6
+    for r in feats:
+        assert len(r.features) == 2 * r.n_bands
+        assert all(0.0 <= v <= 255.0 for v in r.features)
+    rs = resize_images(images, 32, 16).collect()
+    for r in rs:
+        assert r.w == 32 and r.h == 16 and r.fmt == "raw"
+        assert len(r.bytes) % (32 * 16) == 0
+
+
+def test_multimodal_stub_raises(spark):
+    from cogger_spark.operators.multimodal import image_features
+    df = spark.createDataFrame(
+        [("x", b"\x00", 1, 1, "png")],
+        "image_id string, bytes binary, w int, h int, fmt string")
+    with pytest.raises(Exception, match="codec library"):
+        image_features(df).collect()
+
+
+def test_multimodal_video_and_audio(spark):
+    from cogger_spark.operators.multimodal import audio_features, sample_frames
+    frame = np.arange(6 * 4 * 1, dtype=np.uint8).tobytes()
+    video = spark.createDataFrame(
+        [("v0", frame * 5, 4, 6, 1, "rawvideo")],
+        "video_id string, bytes binary, w int, h int, bands int, fmt string")
+    frames = sample_frames(video, every_k=2).collect()
+    assert [f.frame_idx for f in sorted(frames, key=lambda f: f.frame_idx)] == [0, 2, 4]
+    assert all(len(f.bytes) == 24 for f in frames)
+
+    pcm = (np.sin(np.linspace(0, 100, 4096)) * 1000).astype("<i2").tobytes()
+    audio = spark.createDataFrame(
+        [("a0", pcm, "pcm16")], "audio_id string, bytes binary, fmt string")
+    rms = audio_features(audio, window=1024).collect()[0]
+    assert rms.n_windows == 4
+    assert all(v > 0 for v in rms.rms)
