@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Headline benchmark: the engine's flagship queries at $SPARK_GRAFT_SF_DIR
+on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+The COG pipeline runs over a deterministic bench image table (generated once
+per scale under /tmp — no external data); images/sec, tiles/sec and MB/sec of
+tile payload are reported alongside so the numbers compare against the
+reference's "I/O-bound byte reshuffle" model (BASELINE.md).
+
+--cores N pins parallelism (used by bench_scaling.py to evidence the
+N vs 4N scaling criterion with shuffle partitions proportional to cores).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pathlib
+import sys
+import time
+
+os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+os.environ.setdefault("PYSPARK_DRIVER_PYTHON", sys.executable)
+
+BENCH_DIMS = [512, 768, 1024, 1024, 1536, 2048, 640, 896]
+
+
+def _sf_of(sf_dir: str) -> float:
+    name = pathlib.Path(sf_dir).name
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _n_images(sf: float) -> int:
+    env = os.environ.get("SPARK_GRAFT_BENCH_IMAGES")
+    if env:
+        return int(env)
+    return max(24, int(4800 * sf))  # sf0.1 → 480 images (~3.4 GB pixels)
+
+
+def _bench_fixtures(sf: float):
+    """Deterministic bench tables under /tmp, generated once per scale."""
+    import pyarrow.parquet as pq
+    from cogger_spark.fixtures import (
+        make_images_table, make_points_table, make_zones_table)
+    n = _n_images(sf)
+    root = pathlib.Path(f"/tmp/cogger_bench_{n}")
+    marker = root / "_done"
+    if not marker.exists():
+        root.mkdir(parents=True, exist_ok=True)
+        pq.write_table(make_images_table(n, dims=BENCH_DIMS),
+                       root / "images.parquet")
+        pq.write_table(make_points_table(n, dims=BENCH_DIMS),
+                       root / "points.parquet")
+        pq.write_table(make_zones_table(max(20, n // 10), n, dims=BENCH_DIMS),
+                       root / "zones.parquet")
+        marker.touch()
+    return root
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    args = ap.parse_args()
+
+    from cogger_spark.session import get_spark
+    from cogger_spark import queries as Q
+    from cogger_spark.operators import spatial
+    from cogger_spark.operators.tiling import cog_pipeline, tile_images
+
+    sf = _sf_of(args.sf_dir)
+    bench_root = _bench_fixtures(sf)
+    spark = get_spark("cogger-bench", cores=args.cores,
+                      shuffle_partitions=args.cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    images = spark.read.parquet(str(bench_root / "images.parquet"))
+    points = spark.read.parquet(str(bench_root / "points.parquet"))
+    zones = spark.read.parquet(str(bench_root / "zones.parquet"))
+    n_images = images.count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        result = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return result
+
+    # 1. flagship: full COG pipeline (decode → pyramid → tiles → blobs)
+    agg = timed("cog_pipeline", lambda: cog_pipeline(images, tile=512)
+                .agg({"n_tiles": "sum", "total_bytes": "sum"}).collect()[0])
+    n_tiles = int(agg["sum(n_tiles)"])
+    total_mb = int(agg["sum(total_bytes)"]) / 1e6
+    cog_sec = timings["cog_pipeline"]
+
+    # 2. tile metadata + spatial joins over the bench-scale tables
+    manifest = spatial.tile_manifest(images, tile=512, level=0)
+    timed("tile_manifest",
+          lambda: spatial.tile_manifest(images, tile=512, level=None).count())
+    timed("pip_join", lambda: spatial.pip_join(points, manifest).count())
+    timed("knn_join", lambda: spatial.knn_join(points, manifest, k=5).count())
+    timed("zonal_stats", lambda: spatial.zonal_stats(zones, manifest).count())
+    timed("phash_canonical", lambda: spatial.phash_canonical(images).count())
+
+    # 3. documents / embeddings / relational at sf_dir scale
+    for name in ("minhash_lsh_dedup", "ngram_jaccard_pairs", "ann_cosine_topk",
+                 "doc_quality", "doc_fingerprint", "pricing_summary",
+                 "orders_topk_per_customer", "events_by_type"):
+        timed(name, lambda n=name: Q.ALL_QUERIES[n](spark, args.sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline suite wall (COG tiling + spatial joins + "
+                  "dedup/ANN/text + relational)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cores": args.cores,
+        "bench_images": n_images,
+        "bench_tiles": n_tiles,
+        "images_per_sec": round(n_images / cog_sec, 2),
+        "tiles_per_sec": round(n_tiles / cog_sec, 2),
+        "cog_mb_per_sec": round(total_mb / cog_sec, 2),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

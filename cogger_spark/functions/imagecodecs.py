@@ -28,6 +28,12 @@ RAW = "raw"
 DEFLATE = "deflate"
 _LOSSLESS = {RAW, DEFLATE}
 
+# zlib level for engine-produced tiles: level 1 trades a few % of ratio for
+# ~4x encode throughput — the right point for a pipeline whose reference
+# model is "as fast as the underlying i/o" (README.md:6-7). Deterministic
+# for a fixed zlib build, which the determinism tests pin.
+DEFLATE_LEVEL = 1
+
 
 def decode_image(data: bytes, w: int, h: int, fmt: str, bands: int) -> np.ndarray:
     """bytes → uint8 array of shape (h, w, bands) (band-interleaved-by-pixel)."""
@@ -50,7 +56,8 @@ def encode_image(px: np.ndarray, fmt: str) -> bytes:
     if fmt == RAW:
         return np.ascontiguousarray(px, dtype=np.uint8).tobytes()
     if fmt == DEFLATE:
-        return zlib.compress(np.ascontiguousarray(px, dtype=np.uint8).tobytes())
+        return zlib.compress(np.ascontiguousarray(px, dtype=np.uint8).tobytes(),
+                             DEFLATE_LEVEL)
     raise ValueError(f"unknown format {fmt!r}")
 
 

@@ -56,19 +56,37 @@ def _pair_block_join(docs: DataFrame, cols):
             .filter(F.col("doc_a") < F.col("doc_b")))
 
 
+def trigram_set(textcol):
+    """Distinct word-3-gram shingles of a text column (JVM-side).
+
+    Word trigrams, not unigrams: the documents corpus draws from a small
+    shared vocabulary, so unigram sets make *every* pair look similar —
+    trigram shingles separate true near-dups (jaccard ~0.9+) from noise
+    (<0.1) cleanly."""
+    toks = F.split(textcol, " ")
+    tris = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                              F.element_at(toks, i + 1),
+                              F.element_at(toks, i + 2)))
+    return F.array_distinct(tris)
+
+
 def jaccard_expr(text_a, text_b):
-    """Distinct-unigram Jaccard, formula mirrored by the oracle:
+    """Distinct-trigram Jaccard, formula mirrored by the oracle:
     |A∩B| / (|A|+|B|-|A∩B|)."""
-    sa = F.array_distinct(F.split(text_a, " "))
-    sb = F.array_distinct(F.split(text_b, " "))
+    sa = trigram_set(text_a)
+    sb = trigram_set(text_b)
     inter = F.size(F.array_intersect(sa, sb))
     union = F.size(sa) + F.size(sb) - inter
     return inter / (union * F.lit(1.0))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """Exact blocked pairwise Jaccard >= threshold within (lang, source)
-    blocks (the oracle-checkable exact baseline for MinHash)."""
+    """Exact blocked pairwise trigram Jaccard >= threshold within
+    (lang, source) blocks (the oracle-checkable exact baseline for MinHash).
+    Documents with fewer than 3 tokens have no shingles and are excluded."""
+    docs = docs.filter(F.size(F.split(F.col("text"), " ")) >= 3)
     pairs = _pair_block_join(docs, ["lang", "source"])
     jac = jaccard_expr(F.col("text_a"), F.col("text_b"))
     return (pairs.withColumn("jaccard", F.round(jac, 9))
@@ -81,9 +99,12 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _token_hashes(text: str) -> np.ndarray:
-    toks = set(text.split(" "))
-    return np.array([zlib.crc32(t.encode()) for t in toks], dtype=np.uint64)
+def _shingle_hashes(text: str) -> np.ndarray:
+    """crc32 of each distinct word-trigram shingle (same shingling as the
+    exact jaccard baseline, so MinHash estimates the same similarity)."""
+    toks = text.split(" ")
+    tris = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+    return np.array([zlib.crc32(t.encode()) for t in tris], dtype=np.uint64)
 
 
 def minhash_udf():
@@ -91,7 +112,7 @@ def minhash_udf():
     def _sig(text: pd.Series) -> pd.Series:
         out = []
         for t in text:
-            th = _token_hashes(t)
+            th = _shingle_hashes(t)
             if len(th) == 0:
                 out.append([0] * MINHASH_PERMS)
                 continue
@@ -103,7 +124,9 @@ def minhash_udf():
 
 
 def lsh_buckets(docs: DataFrame) -> DataFrame:
-    """doc → (band, bucket) rows; same-bucket docs are candidate duplicates."""
+    """doc → (band, bucket) rows; same-bucket docs are candidate duplicates.
+    Only the doc_id rides through the band explode — texts rejoin once at
+    verification time, so the 16x row multiplication never shuffles payloads."""
     sig = minhash_udf()
     d = docs.withColumn("sig", sig("text"))
     bands = F.array(*[
@@ -113,7 +136,7 @@ def lsh_buckets(docs: DataFrame) -> DataFrame:
                                      for r in range(LSH_ROWS)])).alias("bucket"))
         for b in range(LSH_BANDS)])
     return (d.withColumn("bb", F.explode(bands))
-            .select("doc_id", "text", F.col("bb.band").alias("band"),
+            .select("doc_id", F.col("bb.band").alias("band"),
                     F.col("bb.bucket").alias("bucket")))
 
 
@@ -121,19 +144,21 @@ def minhash_lsh_dedup(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """LSH candidates → exact-Jaccard verification >= threshold.
 
     Near-exact vs the blocked exact baseline (recall asserted in tests);
-    unlike the baseline its cost is O(n·bands), not O(block²), so it is the
-    scale path for 10^12 rows."""
+    unlike the baseline its cost is O(n·bands + candidates), not O(block²),
+    so it is the scale path for 10^12 rows."""
+    docs = docs.filter(F.size(F.split(F.col("text"), " ")) >= 3)
     bb = lsh_buckets(docs)
-    a = bb.select("band", "bucket", F.col("doc_id").alias("doc_a"),
-                  F.col("text").alias("text_a"))
-    b = bb.select("band", "bucket", F.col("doc_id").alias("doc_b"),
-                  F.col("text").alias("text_b"))
+    a = bb.select("band", "bucket", F.col("doc_id").alias("doc_a"))
+    b = bb.select("band", "bucket", F.col("doc_id").alias("doc_b"))
     cand = (a.join(b, ["band", "bucket"])
             .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b", "text_a", "text_b")
+            .select("doc_a", "doc_b")
             .distinct())
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
     jac = jaccard_expr(F.col("text_a"), F.col("text_b"))
-    return (cand.withColumn("jaccard", F.round(jac, 9))
+    return (cand.join(ta, "doc_a").join(tb, "doc_b")
+            .withColumn("jaccard", F.round(jac, 9))
             .filter(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard"))
 

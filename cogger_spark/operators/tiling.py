@@ -66,10 +66,18 @@ def infer_planes(nbytes: int, w: int, h: int) -> tuple[int, bool]:
 
 
 def tile_images(images: DataFrame, tile: int = 512, compression: str = "deflate",
-                min_overview_size: int = 2) -> DataFrame:
+                min_overview_size: int = 2, parallelism: int | None = None) -> DataFrame:
     """Decode each image, build its 2x-average overview pyramid, cut every
     level into `tile`-sized tiles (zero-padded at edges), compress, and emit
-    one row per tile.  Runs as a single narrow mapInPandas stage."""
+    one row per tile.
+
+    The input is round-robin repartitioned first: image tables often arrive
+    as few fat parquet files (one row group = one split), which would
+    serialize the pixel work onto a handful of tasks — the one shuffle here
+    buys full-cluster fan-out of the dominant stage."""
+    sc = images.sparkSession.sparkContext
+    n = parallelism or sc.defaultParallelism * 2
+    images = images.repartition(n)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import zlib

@@ -258,8 +258,13 @@ SELECT doc_id, lang, source, n_chars FROM (
 
 NGRAM_JACCARD_PAIRS = """
 WITH d AS (
-  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS s
+  SELECT doc_id, lang, source,
+    list_distinct(list_transform(
+      generate_series(1, len(string_split(text, ' ')) - 2),
+      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+           || ' ' || string_split(text, ' ')[i+2])) AS s
   FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
 )
 SELECT doc_a, doc_b, lang, jaccard FROM (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
