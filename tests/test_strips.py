@@ -1,0 +1,49 @@
+"""Strip pipeline ≡ direct pipeline: byte-identical tiles (the distributed
+decomposition must not change pixel results — the engine's analogue of the
+reference requirement that strip boundaries are invisible in the output)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from cogger_spark.operators.strips import tile_images_strips
+from cogger_spark.operators.tiling import assemble_cogs, cog_pipeline, tile_images
+
+
+@pytest.fixture(scope="module")
+def big_images(spark, tmp_path_factory):
+    import pyarrow.parquet as pq
+    from cogger_spark.fixtures import make_images_table
+    # dims incl. 1024 so a small target_px forces multiple strips + levels
+    path = tmp_path_factory.mktemp("strips") / "images.parquet"
+    pq.write_table(make_images_table(12, dims=[1024, 700, 513, 1]), path)
+    return spark.read.parquet(str(path))
+
+
+TILE = 256  # small tile → strips at 256-multiples, several per 1024px image
+TARGET = 256 * 512  # forces ~2-4 full-res strips on the 1024px images
+
+
+def _key(r):
+    return (r.image_id, r.level, r.plane, r.ty, r.tx)
+
+
+def test_strip_tiles_equal_direct_tiles(spark, big_images):
+    direct = tile_images(big_images, tile=TILE).collect()
+    strip = tile_images_strips(big_images, tile=TILE, target_px=TARGET).collect()
+    d = {_key(r): bytes(r.payload) for r in direct}
+    s = {_key(r): bytes(r.payload) for r in strip}
+    assert set(d) == set(s), (
+        f"tile sets differ: only-direct={list(set(d) - set(s))[:5]} "
+        f"only-strip={list(set(s) - set(d))[:5]}")
+    mism = [k for k in d if d[k] != s[k]]
+    assert not mism, f"payload mismatch at {mism[:5]}"
+
+
+def test_strip_pipeline_assembles_same_cogs(spark, big_images):
+    import hashlib
+    direct = {r.image_id: hashlib.md5(bytes(r.cog)).hexdigest()
+              for r in cog_pipeline(big_images, tile=TILE).collect()}
+    strip_tiles = tile_images_strips(big_images, tile=TILE, target_px=TARGET)
+    strip = {r.image_id: hashlib.md5(bytes(r.cog)).hexdigest()
+             for r in assemble_cogs(strip_tiles, tile=TILE).collect()}
+    assert direct == strip
