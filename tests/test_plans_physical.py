@@ -1,0 +1,75 @@
+"""Physical-plan audits: the plans we designed for are the plans we get.
+
+These assertions encode the scale contract (SURVEY.md §4): column pruning
+into the parquet scan (never reading `bytes` for metadata queries), filter
+pushdown, broadcast joins for small dimensions, equi-join (not theta) shapes
+for the spatial joins, and whole-stage codegen on the JVM-only paths.
+"""
+
+import pyspark.sql.functions as F
+
+from cogger_spark import queries
+from cogger_spark.operators import spatial
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_manifest_scan_prunes_bytes_column(spark, fixture_dir):
+    df = queries.q_tile_manifest(spark, SF)
+    plan = _plan(df)
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln or "ReadSchema" in ln]
+    txt = "\n".join(scan) or plan
+    assert "bytes" not in txt, f"manifest scan reads bytes!\n{txt}"
+    assert "image_id" in txt
+
+
+def test_manifest_is_jvm_only(spark, fixture_dir):
+    plan = _plan(queries.q_tile_manifest(spark, SF))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas"):
+        assert marker not in plan, f"Python stage in metadata-only plan: {marker}"
+    assert "*(1)" in plan  # whole-stage-codegen span marker
+
+
+def test_filter_pushdown_reaches_scan(spark, fixture_dir):
+    from cogger_spark.fixtures import FIXTURE_DIR
+    images = spark.read.parquet(str(FIXTURE_DIR / "images_test.parquet"))
+    df = images.filter(F.col("fmt") == "raw").select("image_id", "w")
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "fmt" in plan.split("PushedFilters", 1)[1], plan
+
+
+def test_zonal_join_broadcasts_zones(spark, fixture_dir):
+    from cogger_spark.fixtures import FIXTURE_DIR
+    images = spark.read.parquet(str(FIXTURE_DIR / "images_test.parquet"))
+    zones = spark.read.parquet(str(FIXTURE_DIR / "zones_test.parquet"))
+    tiles = spatial.tile_manifest(images, level=0)
+    plan = _plan(spatial.zonal_stats(zones, tiles))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pip_join_is_equi_join_on_cells(spark, fixture_dir):
+    from cogger_spark.fixtures import FIXTURE_DIR
+    images = spark.read.parquet(str(FIXTURE_DIR / "images_test.parquet"))
+    points = spark.read.parquet(str(FIXTURE_DIR / "points_test.parquet"))
+    tiles = spatial.tile_manifest(images, level=0)
+    plan = _plan(spatial.pip_join(points, tiles))
+    # must be a hash equi-join keyed on cell_id, never a nested-loop theta join
+    assert "cell_id" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_nation_revenue_broadcasts_dim(spark):
+    plan = _plan(queries.q_nation_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pricing_summary_partial_aggregation(spark):
+    plan = _plan(queries.q_pricing_summary(spark, SF))
+    # Catalyst plans partial (map-side) + final hash aggregation
+    assert plan.count("HashAggregate") >= 2, plan
