@@ -64,6 +64,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         # tiling / ordering / offsets (fixture-backed, fixed absolute paths)
         "tile_manifest": o.TILE_MANIFEST,
+        "dataset_stats": o.DATASET_STATS,
         "tile_offsets_raw": o.TILE_OFFSETS_RAW,
         # spatial joins
         "pip_join": o.PIP_JOIN,

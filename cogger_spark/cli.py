@@ -1,0 +1,84 @@
+"""spark-submit entrypoint (S7 / north rule: `spark-submit --py-files`).
+
+Usage:
+    python -m zipfile -c /tmp/cogger_spark.zip cogger_spark      # package
+    spark-submit --master local[32] --py-files /tmp/cogger_spark.zip \
+        cogger_spark/cli.py convert --images <parquet> --out <dir> \
+        [--tile 512] [--buckets 64] [--ckpt <dir>] [--resume]
+
+Subcommands:
+    convert   images parquet → per-image COG blobs (checkpointed, resumable)
+    manifest  images parquet → tile manifest parquet (metadata only)
+    validate  images parquet → rejects report
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _spark(cores: str | None):
+    # under spark-submit the session/config come from the launcher; fall back
+    # to the engine defaults for plain `python cli.py`
+    from pyspark.sql import SparkSession
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    from cogger_spark.session import get_spark
+    return get_spark("cogger-cli", cores=int(cores) if cores else None)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="cogger-spark")
+    ap.add_argument("--cores", default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("convert")
+    c.add_argument("--images", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--tile", type=int, default=512)
+    c.add_argument("--buckets", type=int, default=64)
+    c.add_argument("--ckpt", default=None)
+    c.add_argument("--compression", default="deflate")
+
+    m = sub.add_parser("manifest")
+    m.add_argument("--images", required=True)
+    m.add_argument("--out", required=True)
+    m.add_argument("--tile", type=int, default=512)
+
+    v = sub.add_parser("validate")
+    v.add_argument("--images", required=True)
+    v.add_argument("--out", required=True)
+
+    args = ap.parse_args(argv)
+    spark = _spark(args.cores)
+
+    if args.cmd == "convert":
+        from cogger_spark.operators.tiling import cog_pipeline
+        from cogger_spark.plans.checkpoint import metrics_table, run_checkpointed
+        images = spark.read.parquet(args.images)
+        ckpt = args.ckpt or (args.out.rstrip("/") + "_ckpt")
+        recs = run_checkpointed(
+            spark, images, args.out, ckpt, n_buckets=args.buckets,
+            job=lambda df: cog_pipeline(df, tile=args.tile,
+                                        compression=args.compression))
+        metrics_table(spark, ckpt).show(truncate=False)
+        print(f"convert: {len(recs)} buckets processed this run")
+    elif args.cmd == "manifest":
+        from cogger_spark.operators.spatial import tile_manifest
+        images = spark.read.parquet(args.images)
+        tile_manifest(images, tile=args.tile, level=None) \
+            .write.mode("overwrite").parquet(args.out)
+        print(f"manifest: wrote {args.out}")
+    elif args.cmd == "validate":
+        from cogger_spark.operators.validate import validate_images
+        images = spark.read.parquet(args.images)
+        valid, rejects = validate_images(images)
+        rejects.write.mode("overwrite").parquet(args.out)
+        print(f"validate: {valid.count()} valid, see rejects at {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

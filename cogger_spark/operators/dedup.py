@@ -46,16 +46,6 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
             .filter(F.col("rn") == 1).drop("rn"))
 
 
-def _pair_block_join(docs: DataFrame, cols):
-    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"),
-                    *[F.col(c) for c in cols])
-    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"),
-                    *[F.col(c).alias(f"_{c}") for c in cols])
-    cond = [a[c] == b[f"_{c}"] for c in cols]
-    return (a.join(b, cond)
-            .filter(F.col("doc_a") < F.col("doc_b")))
-
-
 def trigram_set(textcol):
     """Distinct word-3-gram shingles of a text column (JVM-side).
 
@@ -72,11 +62,19 @@ def trigram_set(textcol):
     return F.array_distinct(tris)
 
 
-def jaccard_expr(text_a, text_b):
-    """Distinct-trigram Jaccard, formula mirrored by the oracle:
-    |A∩B| / (|A|+|B|-|A∩B|)."""
-    sa = trigram_set(text_a)
-    sb = trigram_set(text_b)
+def _shingled(docs: DataFrame, *keep: str) -> DataFrame:
+    """(doc_id, keep..., s) with the trigram set computed ONCE per document —
+    never per candidate pair (the shingling lambda chain is interpreted, so
+    per-pair evaluation would dominate the join)."""
+    sc = docs.sparkSession.sparkContext
+    return (docs.repartition(sc.defaultParallelism)
+            .filter(F.size(F.split(F.col("text"), " ")) >= 3)
+            .select("doc_id", *keep, trigram_set(F.col("text")).alias("s")))
+
+
+def jaccard_sets_expr(sa, sb):
+    """Distinct-trigram Jaccard over precomputed sets, mirrored by the
+    oracle: |A∩B| / (|A|+|B|-|A∩B|)."""
     inter = F.size(F.array_intersect(sa, sb))
     union = F.size(sa) + F.size(sb) - inter
     return inter / (union * F.lit(1.0))
@@ -86,9 +84,15 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Exact blocked pairwise trigram Jaccard >= threshold within
     (lang, source) blocks (the oracle-checkable exact baseline for MinHash).
     Documents with fewer than 3 tokens have no shingles and are excluded."""
-    docs = docs.filter(F.size(F.split(F.col("text"), " ")) >= 3)
-    pairs = _pair_block_join(docs, ["lang", "source"])
-    jac = jaccard_expr(F.col("text_a"), F.col("text_b"))
+    d = _shingled(docs, "lang", "source")
+    a = d.select(F.col("doc_id").alias("doc_a"), "lang", "source",
+                 F.col("s").alias("sa"))
+    b = d.select(F.col("doc_id").alias("doc_b"),
+                 F.col("lang").alias("_lang"), F.col("source").alias("_source"),
+                 F.col("s").alias("sb"))
+    pairs = (a.join(b, (a["lang"] == b["_lang"]) & (a["source"] == b["_source"]))
+             .filter(F.col("doc_a") < F.col("doc_b")))
+    jac = jaccard_sets_expr(F.col("sa"), F.col("sb"))
     return (pairs.withColumn("jaccard", F.round(jac, 9))
             .filter(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "lang", "jaccard"))
@@ -128,7 +132,8 @@ def lsh_buckets(docs: DataFrame) -> DataFrame:
     Only the doc_id rides through the band explode — texts rejoin once at
     verification time, so the 16x row multiplication never shuffles payloads."""
     sig = minhash_udf()
-    d = docs.withColumn("sig", sig("text"))
+    sc = docs.sparkSession.sparkContext
+    d = docs.repartition(sc.defaultParallelism).withColumn("sig", sig("text"))
     bands = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -154,10 +159,11 @@ def minhash_lsh_dedup(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
             .filter(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b")
             .distinct())
-    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
-    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
-    jac = jaccard_expr(F.col("text_a"), F.col("text_b"))
-    return (cand.join(ta, "doc_a").join(tb, "doc_b")
+    sets = _shingled(docs)
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    jac = jaccard_sets_expr(F.col("sa"), F.col("sb"))
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
             .withColumn("jaccard", F.round(jac, 9))
             .filter(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard"))

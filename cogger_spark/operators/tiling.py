@@ -159,14 +159,24 @@ def with_data_offsets(tiles: DataFrame, ghost: bool = True) -> DataFrame:
 ASSEMBLY_SCHEMA = ("image_id string, cog binary, n_tiles long, n_levels int, "
                    "header_bytes long, total_bytes long")
 
+SPLIT_ASSEMBLY_SCHEMA = ("image_id string, header binary, data binary, "
+                         "n_tiles long, n_levels int, header_bytes long, "
+                         "total_bytes long")
+
 
 def assemble_cogs(tiles: DataFrame, tile: int = 512,
-                  compression: str = "deflate", ghost: bool = True) -> DataFrame:
+                  compression: str = "deflate", ghost: bool = True,
+                  split: bool = False) -> DataFrame:
     """Group tiles per image and emit one complete COG blob per image.
 
     The kernel rebuilds the IFD tree (main + overviews + masks) and delegates
     layout to the byte-exact codec: metadata-first header, GDAL ghost areas,
-    prefix-sum offsets, deterministic tile order (cog.go:460-750)."""
+    prefix-sum offsets, deterministic tile order (cog.go:460-750).
+
+    split=True emits header and tile data as separate binary columns — the
+    RewriteSplitted/RewriteIFDTreeSplitted surface (S6, loader.go:67,
+    cog.go:765-780), letting the sink route metadata and payload bytes to
+    different destinations."""
     comp_tag = 8 if compression == "deflate" else 1
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -224,20 +234,26 @@ def assemble_cogs(tiles: DataFrame, tile: int = 512,
         if has_mask:
             main.add_mask(make_ifd(0, 1))
 
-        cog = rewrite_ifd_tree(main, Config(with_gdal_ghost=ghost))
+        from ..tiff.codec import _Writer
+        writer = _Writer(main, Config(with_gdal_ghost=ghost))
+        header = writer.header()
+        data = b"".join(writer.tile_data())
         header_end = min(o for f in [main] + ([main.mask] if main.mask else [])
                          + main.overviews + [o.mask for o in main.overviews if o.mask]
                          for o in f.new_tile_offsets if o > 0)
-        return pd.DataFrame({
+        base = {
             "image_id": [image_id],
-            "cog": [cog],
             "n_tiles": [len(pdf)],
             "n_levels": [n_levels],
-            "header_bytes": [int(header_end) - (4 if ghost else 0)],
-            "total_bytes": [len(cog)],
-        })
+            "header_bytes": [int(header_end) - (4 if writer.ghost else 0)],
+            "total_bytes": [len(header) + len(data)],
+        }
+        if split:
+            return pd.DataFrame({**base, "header": [header], "data": [data]})
+        return pd.DataFrame({**base, "cog": [header + data]})
 
-    return tiles.groupBy("image_id").applyInPandas(kernel, schema=ASSEMBLY_SCHEMA)
+    schema = SPLIT_ASSEMBLY_SCHEMA if split else ASSEMBLY_SCHEMA
+    return tiles.groupBy("image_id").applyInPandas(kernel, schema=schema)
 
 
 def cog_pipeline(images: DataFrame, tile: int = 512,

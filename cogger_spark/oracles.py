@@ -351,3 +351,12 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+DATASET_STATS = f"""
+SELECT fmt,
+  CAST(COUNT(*) AS BIGINT) AS n_images,
+  CAST(SUM(octet_length(bytes)) AS BIGINT) AS total_bytes,
+  CAST(SUM(CAST(w AS BIGINT) * h) AS BIGINT) AS total_px
+FROM {IMAGES}
+GROUP BY fmt
+"""

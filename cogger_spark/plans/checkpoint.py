@@ -91,6 +91,14 @@ def run_checkpointed(spark: SparkSession, images: DataFrame, out_dir: str,
     return lineage
 
 
+def resume_delta(planned: DataFrame, completed: DataFrame,
+                 key: str = "bucket") -> DataFrame:
+    """planned ⟂ completed as a DataFrame anti-join — the declarative resume
+    set (set-op role of SURVEY.md §2.6) used when the plan/progress tables
+    live in Spark rather than on the driver."""
+    return planned.join(completed, key, "left_anti")
+
+
 def lineage_table(spark: SparkSession, ckpt_dir) -> DataFrame:
     """The checkpoint records as a queryable DataFrame (lineage table)."""
     p = pathlib.Path(ckpt_dir)

@@ -88,7 +88,18 @@ def q_dedup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         "image_id", "w", "h", "fmt", "phash")
 
 
+def q_dataset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Input-size accounting (A5, cmd/cogger/main.go:36-49): bytes + pixels
+    per format — the one metadata query that intentionally reads `bytes`
+    (length only)."""
+    return (_images(spark).groupBy("fmt")
+            .agg(F.count(F.lit(1)).alias("n_images"),
+                 F.sum(F.length("bytes").cast("long")).alias("total_bytes"),
+                 F.sum(F.col("w").cast("long") * F.col("h")).alias("total_px")))
+
+
 SPATIAL_QUERIES = {
+    "dataset_stats": q_dataset_stats,
     "tile_manifest": q_tile_manifest,
     "tile_offsets_raw": q_tile_offsets_raw,
     "pip_join": q_pip_join,

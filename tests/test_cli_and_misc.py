@@ -1,0 +1,92 @@
+"""Split sink (S6), validation predicates (P4), dataset stats (A5),
+resume anti-join, and a real spark-submit --py-files run (S7)."""
+
+import pathlib
+import subprocess
+import sys
+import zipfile
+
+import duckdb
+import pyspark.sql.functions as F
+import pytest
+
+from cogger_spark import oracles, queries
+from tests.test_spatial_oracle import compare
+
+
+def test_split_sink_equals_joined_cog(spark, smoke_images):
+    from cogger_spark.operators.tiling import assemble_cogs, tile_images
+    images = spark.read.parquet(smoke_images).limit(6)
+    tiles = tile_images(images, tile=512)
+    joined = {r.image_id: bytes(r.cog)
+              for r in assemble_cogs(tiles, tile=512).collect()}
+    split = {r.image_id: (bytes(r.header), bytes(r.data))
+             for r in assemble_cogs(tile_images(images, tile=512), tile=512,
+                                    split=True).collect()}
+    assert set(joined) == set(split)
+    for iid, (hdr, data) in split.items():
+        assert hdr + data == joined[iid]
+        assert hdr[:2] == b"II"
+
+
+def test_validate_images_split(spark, smoke_images):
+    from cogger_spark.operators.validate import validate_images
+    good = spark.read.parquet(smoke_images)
+    bad = spark.createDataFrame(
+        [("bad_dim", b"\x00", -1, 4, "raw", "c", 0),
+         ("bad_fmt", b"\x00", 1, 1, "bmp", "c", 0),
+         ("bad_size", b"\x00\x00\x00", 2, 1, "raw", "c", 0),
+         ("bad_caption", b"\x00\x00", 2, 1, "raw", "", 0)],
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long")
+    valid, rejects = validate_images(good.unionByName(bad))
+    assert valid.count() == good.count()
+    got = {r.image_id: r.reject_reason for r in rejects.collect()}
+    assert got == {"bad_dim": "nonpositive dims", "bad_fmt": "unknown fmt",
+                   "bad_size": "bad raw payload size",
+                   "bad_caption": "missing caption"}
+
+
+def test_resume_delta_anti_join(spark):
+    from cogger_spark.plans.checkpoint import resume_delta
+    planned = spark.range(10).withColumnRenamed("id", "bucket")
+    completed = spark.range(4).withColumnRenamed("id", "bucket")
+    left = sorted(r.bucket for r in resume_delta(planned, completed).collect())
+    assert left == [4, 5, 6, 7, 8, 9]
+
+
+def test_dataset_stats_matches_oracle(spark, fixture_dir):
+    compare(queries.SPATIAL_QUERIES["dataset_stats"](spark, "/root/testdata/sf0.01"),
+            oracles.DATASET_STATS)
+
+
+@pytest.mark.slow
+def test_spark_submit_py_files(tmp_path, smoke_images):
+    """The north rule's deployment shape: package the engine, run the CLI
+    under spark-submit --py-files, verify the manifest output."""
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    zpath = tmp_path / "cogger_spark.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for f in (repo / "cogger_spark").rglob("*.py"):
+            z.write(f, f.relative_to(repo))
+    out = tmp_path / "manifest_out"
+    spark_submit = pathlib.Path(sys.executable).parent / "spark-submit"
+    if not spark_submit.exists():
+        import pyspark
+        spark_submit = pathlib.Path(pyspark.__file__).parent / "bin" / "spark-submit"
+    proc = subprocess.run(
+        [str(spark_submit), "--master", "local[4]",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", str(zpath),
+         str(repo / "cogger_spark" / "cli.py"),
+         "manifest", "--images", smoke_images, "--out", str(out)],
+        capture_output=True, text=True, timeout=600,
+        env={"PYSPARK_PYTHON": sys.executable,
+             "PYSPARK_DRIVER_PYTHON": sys.executable,
+             "PATH": "/usr/bin:/bin", "HOME": "/root",
+             "JAVA_HOME": __import__("os").environ.get("JAVA_HOME", "")})
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    files = list(out.glob("*.parquet"))
+    assert files, proc.stdout
+    n = duckdb.sql(f"SELECT count(*) FROM read_parquet('{out}/*.parquet')").fetchall()[0][0]
+    assert n > 50
