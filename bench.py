@@ -46,14 +46,13 @@ def _bench_fixtures(sf: float):
     """Deterministic bench tables under /tmp, generated once per scale."""
     import pyarrow.parquet as pq
     from cogger_spark.fixtures import (
-        make_images_table, make_points_table, make_zones_table)
+        make_points_table, make_zones_table, write_images_parquet)
     n = _n_images(sf)
     root = pathlib.Path(f"/tmp/cogger_bench_{n}")
     marker = root / "_done"
     if not marker.exists():
         root.mkdir(parents=True, exist_ok=True)
-        pq.write_table(make_images_table(n, dims=BENCH_DIMS),
-                       root / "images.parquet")
+        write_images_parquet(root / "images.parquet", n, dims=BENCH_DIMS)
         pq.write_table(make_points_table(n, dims=BENCH_DIMS),
                        root / "points.parquet")
         pq.write_table(make_zones_table(max(20, n // 10), n, dims=BENCH_DIMS),

@@ -94,6 +94,44 @@ def phash(i: int) -> int:
     return h
 
 
+def write_images_parquet(path, n: int, dims=TEST_DIMS, chunk: int = 100) -> None:
+    """Streaming writer for large image tables: bounded memory, small row
+    groups so Spark's parquet reader gets many input splits without a
+    repartition shuffle (split granularity = row group)."""
+    first = make_images_table(min(chunk, n), dims)
+    writer = pq.ParquetWriter(path, first.schema, compression="snappy")
+    writer.write_table(first, row_group_size=8)
+    done = min(chunk, n)
+    while done < n:
+        m = min(chunk, n - done)
+        writer.write_table(_images_slice(done, m, dims), row_group_size=8)
+        done += m
+    writer.close()
+
+
+def _images_slice(start: int, count: int, dims) -> pa.Table:
+    ids, blobs, ws, hs, fmts, caps, hashes = [], [], [], [], [], [], []
+    for i in range(start, start + count):
+        w, h = image_dims(i, dims)
+        px = make_pixels(i, w, h, n_bands(i), has_mask(i))
+        ids.append(f"img_{i:08d}")
+        blobs.append(encode_pixels(px, image_fmt(i)))
+        ws.append(w)
+        hs.append(h)
+        fmts.append(image_fmt(i))
+        caps.append(caption(i))
+        hashes.append(phash(i))
+    return pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+        "w": pa.array(ws, pa.int32()),
+        "h": pa.array(hs, pa.int32()),
+        "fmt": pa.array(fmts, pa.string()),
+        "caption": pa.array(caps, pa.string()),
+        "phash": pa.array(hashes, pa.int64()),
+    })
+
+
 def make_images_table(n: int, dims=TEST_DIMS) -> pa.Table:
     ids, blobs, ws, hs, fmts, caps, hashes = [], [], [], [], [], [], []
     for i in range(n):

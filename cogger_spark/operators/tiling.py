@@ -71,13 +71,14 @@ def tile_images(images: DataFrame, tile: int = 512, compression: str = "deflate"
     level into `tile`-sized tiles (zero-padded at edges), compress, and emit
     one row per tile.
 
-    The input is round-robin repartitioned first: image tables often arrive
-    as few fat parquet files (one row group = one split), which would
-    serialize the pixel work onto a handful of tasks — the one shuffle here
-    buys full-cluster fan-out of the dominant stage."""
+    If the scan yields fewer input splits than the cluster has slots (fat
+    parquet files with huge row groups), the input is repartitioned first —
+    one shuffle buying full fan-out of the dominant pixel stage. Well-chunked
+    tables (many files / small row groups) skip the shuffle entirely."""
     sc = images.sparkSession.sparkContext
     n = parallelism or sc.defaultParallelism * 2
-    images = images.repartition(n)
+    if images.rdd.getNumPartitions() < n:
+        images = images.repartition(n)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import zlib

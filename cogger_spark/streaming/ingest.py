@@ -72,3 +72,43 @@ def stream_cog(spark: SparkSession, in_dir: str, out_dir: str,
      .trigger(availableNow=True)
      .start()
      .awaitTermination())
+
+
+def stream_event_counts(spark: SparkSession, in_dir: str, out_dir: str,
+                        checkpoint_dir: str, window: str = "1 hour",
+                        watermark: str = "2 hours") -> None:
+    """Watermarked windowed aggregation over an event stream: per
+    (event-time window, event_type) counts in append mode — the standard
+    late-data-tolerant rollup shape. Trigger.AvailableNow drains the backlog;
+    on a live source the same query runs continuously with state bounded by
+    the watermark."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType, TimestampType)
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 4)
+              .parquet(in_dir))
+    agg = (stream
+           .withWatermark("ts", watermark)
+           .groupBy(F.window("ts", window).alias("win"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("sum_value"))
+           .select(F.col("win.start").alias("win_start"),
+                   F.col("win.end").alias("win_end"),
+                   "event_type", "n_events", "sum_value"))
+    (agg.writeStream
+     .outputMode("append")
+     .format("parquet")
+     .option("path", out_dir)
+     .option("checkpointLocation", checkpoint_dir)
+     .trigger(availableNow=True)
+     .start()
+     .awaitTermination())

@@ -119,3 +119,28 @@ def test_multimodal_video_and_audio(spark):
     rms = audio_features(audio, window=1024).collect()[0]
     assert rms.n_windows == 4
     assert all(v > 0 for v in rms.rms)
+
+
+def test_streaming_watermark_window_counts(spark, tmp_path):
+    """Windowed+watermarked streaming agg over events equals the batch
+    rollup for all windows the watermark has closed."""
+    import pyspark.sql.functions as F
+    from cogger_spark.streaming.ingest import stream_event_counts
+    src = "/root/testdata/sf0.001/events.parquet"
+    in_dir = str(tmp_path / "ev_in")
+    spark.read.parquet(src).repartition(4).write.parquet(in_dir)
+    out = str(tmp_path / "ev_out")
+    ck = str(tmp_path / "ev_ck")
+    stream_event_counts(spark, in_dir, out, ck)
+    got = spark.read.parquet(out)
+    batch = (spark.read.parquet(in_dir)
+             .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+             .agg(F.count(F.lit(1)).alias("n_events"))
+             .select(F.col("win.start").alias("win_start"), "event_type",
+                     "n_events"))
+    # append mode emits only watermark-closed windows: every emitted row must
+    # match the batch rollup exactly, and most windows must have been emitted
+    j = (got.select("win_start", "event_type", "n_events").alias("g")
+         .join(batch.alias("b"), ["win_start", "event_type"]))
+    assert j.filter("g.n_events <> b.n_events").count() == 0
+    assert got.count() >= batch.count() - 8  # open tail windows withheld
