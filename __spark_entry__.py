@@ -87,6 +87,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_topk_per_customer": o.ORDERS_TOPK_PER_CUSTOMER,
         "nation_revenue": o.NATION_REVENUE,
         "events_by_type": o.EVENTS_BY_TYPE,
+        "events_sessionize": o.EVENTS_SESSIONIZE,
+        "events_value_median": o.EVENTS_VALUE_MEDIAN,
         # no oracle (non-SQL-expressible): minhash_lsh_dedup, simhash_pairs,
         # ann_lsh_topk (LSH bucket hashing), cog_assembly_summary (binary
         # TIFF assembly) — rows-only checks.

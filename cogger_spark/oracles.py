@@ -360,3 +360,32 @@ SELECT fmt,
 FROM {IMAGES}
 GROUP BY fmt
 """
+
+EVENTS_SESSIONIZE = """
+WITH e AS (
+  SELECT user_id, event_id, ts, value, epoch(ts) AS ep,
+    CASE WHEN lag(epoch(ts)) OVER w IS NULL
+              OR epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, SUM(is_new) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM e
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  ROUND(SUM(value), 2) AS sum_value,
+  CAST(MIN(CAST(FLOOR(ep) AS BIGINT)) AS BIGINT) AS first_epoch
+FROM s GROUP BY user_id, session_id
+"""
+
+EVENTS_VALUE_MEDIAN = """
+SELECT event_type,
+  ROUND(quantile_cont(value, 0.5), 6) AS median_value,
+  ROUND(quantile_cont(value, 0.9), 6) AS p90_value
+FROM events GROUP BY event_type
+"""

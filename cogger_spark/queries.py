@@ -240,7 +240,35 @@ def q_events_by_type(spark, sf_dir):
                  F.max(epoch).alias("last_epoch")))
 
 
+def q_events_sessionize(spark, sf_dir):
+    """Sessionization: per-user session segmentation on 30-min inactivity
+    gaps (lag + running sum of gap flags), then per-session rollup."""
+    e = _tbl(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.when(
+        F.lag(epoch).over(w).isNull()
+        | ((epoch - F.lag(epoch).over(w)) > 1800.0), 1).otherwise(0)
+    sess = (e.withColumn("is_new", gap)
+            .withColumn("session_id", F.sum("is_new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (sess.groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"),
+                 F.min(F.col("ts").cast("timestamp").cast("long")).alias("first_epoch"))
+            .withColumn("session_id", F.col("session_id").cast("long")))
+
+
+def q_events_value_median(spark, sf_dir):
+    e = _tbl(spark, sf_dir, "events")
+    return (e.groupBy("event_type")
+            .agg(F.round(F.percentile("value", F.lit(0.5)), 6).alias("median_value"),
+                 F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90_value")))
+
+
 RELATIONAL_QUERIES = {
+    "events_sessionize": q_events_sessionize,
+    "events_value_median": q_events_value_median,
     "pricing_summary": q_pricing_summary,
     "orders_topk_per_customer": q_orders_topk_per_customer,
     "nation_revenue": q_nation_revenue,

@@ -50,6 +50,8 @@ ORACLE_CASES = [
     ("orders_topk_per_customer", "ORDERS_TOPK_PER_CUSTOMER"),
     ("nation_revenue", "NATION_REVENUE"),
     ("events_by_type", "EVENTS_BY_TYPE"),
+    ("events_sessionize", "EVENTS_SESSIONIZE"),
+    ("events_value_median", "EVENTS_VALUE_MEDIAN"),
 ]
 
 
