@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Capture .explain("formatted") for the flagship queries into PLANS.md —
+the plan-quality audit artifact (pushdown / pruning / broadcast / codegen),
+regenerated whenever operators change."""
+
+from __future__ import annotations
+
+import io
+import os
+import pathlib
+import sys
+from contextlib import redirect_stdout
+
+os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+os.environ.setdefault("PYSPARK_DRIVER_PYTHON", sys.executable)
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    from cogger_spark.session import get_spark
+    from cogger_spark import queries as Q
+
+    spark = get_spark("plan-capture", cores=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.01"
+
+    picks = [
+        ("tile_manifest",
+         "metadata-only: 3-column scan, one whole-stage-codegen span, no Python"),
+        ("pip_join",
+         "cell equi-join + exact refine; Python only in the cell-encode UDF"),
+        ("knn_join", "ring explode → equi-join → top-k window"),
+        ("zonal_stats", "broadcast zones → cover-cell join → hash agg"),
+        ("phash_canonical", "partial+final hash aggregate, no window"),
+        ("nation_revenue", "broadcast dim join + partial aggregation"),
+        ("pricing_summary", "filter pushdown + partial/final agg"),
+        ("events_sessionize", "two windows sharing one sort/shuffle"),
+    ]
+
+    out = ["# PLANS — captured physical plans (explain format)\n",
+           "Regenerate: `python scripts/capture_plans.py`. Assertions on these\n"
+           "shapes live in tests/test_plans_physical.py.\n"]
+    for name, note in picks:
+        df = Q.ALL_QUERIES[name](spark, sf)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        out.append(f"\n## {name}\n\n_{note}_\n\n```\n{buf.getvalue().strip()}\n```\n")
+
+    pathlib.Path(__file__).resolve().parent.parent.joinpath("PLANS.md") \
+        .write_text("".join(out))
+    print("wrote PLANS.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
