@@ -65,6 +65,7 @@ def oracle_sql() -> dict[str, str]:
         # tiling / ordering / offsets (fixture-backed, fixed absolute paths)
         "tile_manifest": o.TILE_MANIFEST,
         "dataset_stats": o.DATASET_STATS,
+        "point_grid_counts": o.POINT_GRID_COUNTS,
         "tile_offsets_raw": o.TILE_OFFSETS_RAW,
         # spatial joins
         "pip_join": o.PIP_JOIN,

@@ -241,6 +241,29 @@ def zonal_stats(zones: DataFrame, tiles: DataFrame, res: int = DEFAULT_RES) -> D
 # ---------------------------------------------------------------------------
 
 
+def point_grid_counts(points: DataFrame, res: int = DEFAULT_RES,
+                      salt_buckets: int = 32) -> DataFrame:
+    """Points per grid cell with salted two-stage aggregation (the hot-cell
+    skew pattern, BASELINE.json:6): partial counts on (cell, salt) spread the
+    hot cluster across reducers; the final merge is tiny. Identical result to
+    a plain count — the oracle computes the plain version.
+
+    Grid coords are plain column arithmetic (the Morton packing is only
+    needed for join keys, not counting), so the whole plan is JVM-side."""
+    n = 1 << res
+    gx = F.least(F.greatest(F.floor((F.col("lon") + 180.0) / 360.0 * n)
+                            .cast("long"), F.lit(0)), F.lit(n - 1))
+    gy = F.least(F.greatest(F.floor((F.col("lat") + 90.0) / 180.0 * n)
+                            .cast("long"), F.lit(0)), F.lit(n - 1))
+    salted = (points.withColumn("gx", gx).withColumn("gy", gy)
+              .withColumn("_salt", F.pmod(F.xxhash64("point_id"),
+                                          F.lit(salt_buckets))))
+    partial = (salted.groupBy("gx", "gy", "_salt")
+               .agg(F.count(F.lit(1)).alias("_c")))
+    return (partial.groupBy("gx", "gy")
+            .agg(F.sum("_c").alias("n_points")))
+
+
 def phash_canonical(images: DataFrame) -> DataFrame:
     """Duplicate groups by phash: canonical id = min(image_id), group size.
     A hash aggregate (map-side partials) rather than a self-join bounds the

@@ -262,3 +262,21 @@ def cog_pipeline(images: DataFrame, tile: int = 512,
     """images → COG blobs, end-to-end (the flagship dataflow)."""
     return assemble_cogs(tile_images(images, tile=tile, compression=compression),
                          tile=tile, compression=compression, ghost=ghost)
+
+
+def write_cogs(cogs: DataFrame, out_dir: str) -> None:
+    """Stream the per-image COG blobs to one .tif file each — the engine's
+    `io.Writer` sink (SURVEY.md §1.4): foreachPartition keeps the write on
+    the executors (no driver collect); each task writes its partition's
+    images independently, so the sink scales with the cluster."""
+    import os
+
+    def write_partition(rows):
+        os.makedirs(out_dir, exist_ok=True)
+        for r in rows:
+            tmp = os.path.join(out_dir, f".{r.image_id}.tmp")
+            with open(tmp, "wb") as f:
+                f.write(bytes(r.cog))
+            os.replace(tmp, os.path.join(out_dir, f"{r.image_id}.tif"))
+
+    cogs.select("image_id", "cog").foreachPartition(write_partition)

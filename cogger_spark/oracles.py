@@ -389,3 +389,12 @@ SELECT event_type,
   ROUND(quantile_cont(value, 0.9), 6) AS p90_value
 FROM events GROUP BY event_type
 """
+
+POINT_GRID_COUNTS = f"""
+SELECT
+  LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 360.0 * 1024) AS BIGINT), 0), 1023) AS gx,
+  LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / 180.0 * 1024) AS BIGINT), 0), 1023) AS gy,
+  CAST(COUNT(*) AS BIGINT) AS n_points
+FROM {POINTS}
+GROUP BY 1, 2
+"""

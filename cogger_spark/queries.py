@@ -98,7 +98,12 @@ def q_dataset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.col("w").cast("long") * F.col("h")).alias("total_px")))
 
 
+def q_point_grid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spatial.point_grid_counts(_points(spark), salt_buckets=32)
+
+
 SPATIAL_QUERIES = {
+    "point_grid_counts": q_point_grid_counts,
     "dataset_stats": q_dataset_stats,
     "tile_manifest": q_tile_manifest,
     "tile_offsets_raw": q_tile_offsets_raw,

@@ -90,3 +90,23 @@ def test_spark_submit_py_files(tmp_path, smoke_images):
     assert files, proc.stdout
     n = duckdb.sql(f"SELECT count(*) FROM read_parquet('{out}/*.parquet')").fetchall()[0][0]
     assert n > 50
+
+
+def test_write_cogs_file_sink(spark, smoke_images, tmp_path):
+    import hashlib
+    import pathlib
+    from cogger_spark.operators.tiling import cog_pipeline, write_cogs
+    from cogger_spark.tiff import parse_tiff
+    images = spark.read.parquet(smoke_images).limit(5)
+    cogs = cog_pipeline(images, tile=512)
+    out = tmp_path / "cogs"
+    write_cogs(cogs, str(out))
+    blobs = {r.image_id: bytes(r.cog) for r in cogs.collect()}
+    files = sorted(pathlib.Path(out).glob("*.tif"))
+    assert len(files) == 5
+    for f in files:
+        iid = f.stem
+        data = f.read_bytes()
+        assert hashlib.md5(data).hexdigest() == \
+            hashlib.md5(blobs[iid]).hexdigest()
+        assert parse_tiff(data).ifds  # well-formed TIFF

@@ -40,6 +40,7 @@ CASES = [
     ("knn_join", oracles.KNN_JOIN),
     ("zonal_stats", oracles.ZONAL_STATS),
     ("phash_canonical", oracles.PHASH_CANONICAL),
+    ("point_grid_counts", oracles.POINT_GRID_COUNTS),
     ("dedup_images", oracles.DEDUP_IMAGES),
 ]
 
