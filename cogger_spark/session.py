@@ -41,6 +41,8 @@ def get_spark(app_name: str = "cogger-spark", cores: int | None = None,
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
          .config("spark.sql.parquet.compression.codec", "snappy")
          .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+         .config("spark.sql.warehouse.dir",
+                 os.environ.get("SPARK_WAREHOUSE", "/tmp/cogger_warehouse"))
          .config("spark.ui.enabled", "false"))
     for k, v in (extra or {}).items():
         b = b.config(k, v)

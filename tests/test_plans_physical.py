@@ -73,3 +73,22 @@ def test_pricing_summary_partial_aggregation(spark):
     plan = _plan(queries.q_pricing_summary(spark, SF))
     # Catalyst plans partial (map-side) + final hash aggregation
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_bucketed_join_has_no_exchange(spark, fixture_dir, tmp_path):
+    """Both sides bucketed on the join key → SortMergeJoin without Exchange
+    (the pay-the-shuffle-once pattern for repeated image_id joins)."""
+    import pyspark.sql.functions as F
+    from cogger_spark.fixtures import FIXTURE_DIR
+    from cogger_spark.sources.bucketed import bucketed_join, write_bucketed
+    images = spark.read.parquet(str(FIXTURE_DIR / "images_test.parquet"))
+    meta = images.select("image_id", "w", "h", "fmt")
+    caps = images.select("image_id", "caption", "phash")
+    write_bucketed(meta, "t_meta", "image_id", buckets=8)
+    write_bucketed(caps, "t_caps", "image_id", buckets=8)
+    joined = bucketed_join(spark, "t_meta", "t_caps", "image_id")
+    plan = _plan(joined)
+    assert "Exchange" not in plan, plan
+    assert joined.count() == images.count()
+    spark.sql("DROP TABLE t_meta")
+    spark.sql("DROP TABLE t_caps")
