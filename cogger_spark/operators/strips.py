@@ -61,7 +61,7 @@ def strips_level0(images: DataFrame, tile: int = 512,
     """Decode each image once and emit its full-res strips as rows."""
 
     sc = images.sparkSession.sparkContext
-    if images.rdd.getNumPartitions() < sc.defaultParallelism * 2:
+    if images.rdd.getNumPartitions() < sc.defaultParallelism:
         images = images.repartition(sc.defaultParallelism * 2)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -74,11 +74,14 @@ def tile_images(images: DataFrame, tile: int = 512, compression: str = "deflate"
     If the scan yields fewer input splits than the cluster has slots (fat
     parquet files with huge row groups), the input is repartitioned first —
     one shuffle buying full fan-out of the dominant pixel stage. Well-chunked
-    tables (many files / small row groups) skip the shuffle entirely."""
+    tables skip the shuffle entirely: Spark's own minPartitionNum split
+    sizing already fans a multi-row-group file out to ~defaultParallelism, so
+    the (expensive — it moves the pixel bytes) repartition only fires when
+    the scan genuinely cannot use the available slots."""
     sc = images.sparkSession.sparkContext
-    n = parallelism or sc.defaultParallelism * 2
-    if images.rdd.getNumPartitions() < n:
-        images = images.repartition(n)
+    slots = sc.defaultParallelism
+    if images.rdd.getNumPartitions() < (parallelism or slots):
+        images = images.repartition(parallelism or slots * 2)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import zlib

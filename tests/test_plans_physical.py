@@ -86,9 +86,17 @@ def test_bucketed_join_has_no_exchange(spark, fixture_dir, tmp_path):
     caps = images.select("image_id", "caption", "phash")
     write_bucketed(meta, "t_meta", "image_id", buckets=8)
     write_bucketed(caps, "t_caps", "image_id", buckets=8)
-    joined = bucketed_join(spark, "t_meta", "t_caps", "image_id")
-    plan = _plan(joined)
-    assert "Exchange" not in plan, plan
-    assert joined.count() == images.count()
-    spark.sql("DROP TABLE t_meta")
-    spark.sql("DROP TABLE t_caps")
+    # at fixture sizes the planner would broadcast (also shuffle-free, but it
+    # bypasses bucketing); disable broadcast to expose the at-scale SMJ shape
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "t_meta", "t_caps", "image_id")
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert joined.count() == images.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.sql("DROP TABLE t_meta")
+        spark.sql("DROP TABLE t_caps")
