@@ -76,8 +76,15 @@ def main() -> None:
 
     sf = _sf_of(args.sf_dir)
     bench_root = _bench_fixtures(sf)
+    # The synthetic pixels are closed-form (highly compressible), so parquet
+    # compressed size wildly understates decode cost and Spark's default
+    # compressed-byte split sizing would pack thousands of deflate rows into
+    # one straggler split. Small splits restore row-count-granular balance;
+    # real (incompressible) imagery splits correctly at the 128MB default.
     spark = get_spark("cogger-bench", cores=args.cores,
-                      shuffle_partitions=args.cores)
+                      shuffle_partitions=args.cores,
+                      extra={"spark.sql.files.maxPartitionBytes": "1m",
+                             "spark.sql.files.openCostInBytes": "0"})
     spark.sparkContext.setLogLevel("ERROR")
 
     images = spark.read.parquet(str(bench_root / "images.parquet"))

@@ -75,7 +75,8 @@ def make_pixels(i: int, w: int, h: int, bands: int, mask: bool) -> np.ndarray:
 
 def encode_pixels(px: np.ndarray, fmt: str) -> bytes:
     raw = px.tobytes()
-    return zlib.compress(raw) if fmt == "deflate" else raw
+    # level 1: fixture generation is not the thing being measured
+    return zlib.compress(raw, 1) if fmt == "deflate" else raw
 
 
 def caption(i: int) -> str:

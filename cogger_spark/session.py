@@ -29,6 +29,12 @@ def get_spark(app_name: str = "cogger-spark", cores: int | None = None,
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     if shuffle_partitions is None:
         shuffle_partitions = cores
+    # make the engine importable by python workers, so the preloading daemon
+    # (daemon_preload.py) can warm numpy/pandas/pyarrow before forking
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(":"):
+        os.environ["PYTHONPATH"] = f"{repo_root}:{pp}" if pp else repo_root
     b = (SparkSession.builder
          .appName(app_name)
          .master(f"local[{cores}]")
@@ -43,6 +49,7 @@ def get_spark(app_name: str = "cogger-spark", cores: int | None = None,
          .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
          .config("spark.sql.warehouse.dir",
                  os.environ.get("SPARK_WAREHOUSE", "/tmp/cogger_warehouse"))
+         .config("spark.python.daemon.module", "cogger_spark.daemon_preload")
          .config("spark.ui.enabled", "false"))
     for k, v in (extra or {}).items():
         b = b.config(k, v)
