@@ -202,7 +202,8 @@ DOC_QUERIES = {
 
 def q_pricing_summary(spark, sf_dir):
     li = _tbl(spark, sf_dir, "lineitem")
-    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+    # NTZ-to-NTZ comparison: immune to whatever session timezone the caller runs
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
             .groupBy("l_returnflag", "l_linestatus")
             .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
                  F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
@@ -233,9 +234,10 @@ def q_nation_revenue(spark, sf_dir):
 
 
 def q_events_by_type(spark, sf_dir):
+    # the NTZ→epoch cast chain depends on session tz; pin UTC so the result
+    # matches DuckDB's epoch() regardless of the caller's session settings
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     e = _tbl(spark, sf_dir, "events")
-    # parquet timestamps are NTZ; session tz is pinned UTC so the cast chain
-    # equals DuckDB's epoch()
     epoch = F.col("ts").cast("timestamp").cast("long")
     return (e.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
@@ -248,6 +250,7 @@ def q_events_by_type(spark, sf_dir):
 def q_events_sessionize(spark, sf_dir):
     """Sessionization: per-user session segmentation on 30-min inactivity
     gaps (lag + running sum of gap flags), then per-session rollup."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # epoch outputs
     e = _tbl(spark, sf_dir, "events")
     epoch = F.col("ts").cast("timestamp").cast("double")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
