@@ -100,6 +100,9 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         return result
 
+    # warm the JVM, python worker pool, and codegen before timing
+    cog_pipeline(images.limit(8), tile=512).count()
+
     # 1. flagship: full COG pipeline (decode → pyramid → tiles → blobs)
     agg = timed("cog_pipeline", lambda: cog_pipeline(images, tile=512)
                 .agg({"n_tiles": "sum", "total_bytes": "sum"}).collect()[0])
