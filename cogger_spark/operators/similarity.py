@@ -71,6 +71,72 @@ def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.8) -> DataF
 
 
 # ---------------------------------------------------------------------------
+# IVF ANN (coarse k-means quantizer + nprobe search)
+# ---------------------------------------------------------------------------
+
+
+def _kmeans(sample: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
+    """Deterministic Lloyd's iterations, seeded centroids — a driver-side
+    coarse quantizer trained on a bounded sample (classic IVF)."""
+    rng = np.random.RandomState(7)
+    cent = sample[rng.choice(len(sample), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def ivf_assign_udf(centroids: np.ndarray, nprobe: int = 1):
+    """vector → its `nprobe` nearest centroid ids (list ids). nprobe=1 for
+    indexing the corpus; nprobe>1 for the query side."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _assign(emb: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(e, dtype=np.float64) for e in emb])
+        d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d, axis=1)[:, :nprobe]
+        return pd.Series([row.astype(np.int64).tolist() for row in order])
+    return _assign
+
+
+def ivf_topk(embeddings: DataFrame, k: int = 10, query_mod: int = 50,
+             n_lists: int = 16, nprobe: int = 4,
+             train_sample: int = 2048) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their nearest-centroid
+    list; each query probes its `nprobe` nearest lists and exact-reranks the
+    candidates. Candidates/query ≈ nprobe/n_lists of the corpus — the classic
+    inverted-file scale path. The quantizer trains driver-side on a bounded
+    sample (at 10^12 scale: a fixed random sample, broadcast centroids)."""
+    sample = np.asarray(
+        [np.asarray(r.embedding, dtype=np.float64)
+         for r in embeddings.select("embedding").limit(train_sample).collect()])
+    cent = _kmeans(sample, n_lists)
+
+    corpus = (embeddings
+              .withColumn("lists", ivf_assign_udf(cent, 1)("embedding"))
+              .withColumn("list_id", F.col("lists")[0])
+              .drop("lists"))
+    q = (embeddings.filter(F.col("vec_id") % query_mod == 0)
+         .withColumn("lists", ivf_assign_udf(cent, nprobe)("embedding"))
+         .withColumn("list_id", F.explode("lists"))
+         .select("list_id", F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb")))
+    cand = (corpus.join(q, "list_id")
+            .filter(F.col("vec_id") != F.col("query_id")))
+    cos = F.round(cosine_expr(F.col("q_emb"), F.col("embedding")), 9)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (cand.withColumn("cosine", cos)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "cosine",
+                    F.col("rank").cast("long").alias("rank")))
+
+
+# ---------------------------------------------------------------------------
 # LSH ANN (random hyperplanes, multiple tables)
 # ---------------------------------------------------------------------------
 

@@ -182,7 +182,13 @@ def q_ann_lsh_topk(spark, sf_dir):
     return ann_lsh_topk(_tbl(spark, sf_dir, "embeddings"), k=10, query_mod=50)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    from .operators.similarity import ivf_topk
+    return ivf_topk(_tbl(spark, sf_dir, "embeddings"), k=10, query_mod=50)
+
+
 DOC_QUERIES = {
+    "ann_ivf_topk": q_ann_ivf_topk,               # no oracle (quantizer)
     "doc_token_stats": q_doc_token_stats,
     "doc_token_bpe": q_doc_token_bpe,
     "doc_quality": q_doc_quality,

@@ -101,3 +101,18 @@ def test_simhash_pairs_runs_and_is_symmetric_free(spark):
         assert (r.doc_a, r.doc_b) not in seen
         seen.add((r.doc_a, r.doc_b))
         assert r.hamming <= 3
+
+
+def test_ann_ivf_recall_vs_brute_force(spark):
+    bf = queries.q_ann_cosine_topk(spark, SF_DIR).collect()
+    ivf = queries.ALL_QUERIES["ann_ivf_topk"](spark, SF_DIR).collect()
+    bf_sets, iv_sets = {}, {}
+    for r in bf:
+        bf_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in ivf:
+        iv_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(bf_sets[q] & iv_sets.get(q, set())) / len(bf_sets[q])
+               for q in bf_sets]
+    mean_recall = sum(recalls) / len(recalls)
+    # nprobe=4 of 16 lists scans ~25% of the corpus → solid recall expected
+    assert mean_recall >= 0.4, f"IVF recall {mean_recall:.2f}"
