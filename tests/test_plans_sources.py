@@ -144,3 +144,22 @@ def test_streaming_watermark_window_counts(spark, tmp_path):
          .join(batch.alias("b"), ["win_start", "event_type"]))
     assert j.filter("g.n_events <> b.n_events").count() == 0
     assert got.count() >= batch.count() - 8  # open tail windows withheld
+
+
+def test_stateful_streaming_dedup(spark, tmp_path):
+    """applyInPandasWithState dedup across micro-batches: exactly one output
+    row per distinct text, the smallest doc_id wins within a batch."""
+    from cogger_spark.streaming.stateful import stream_dedup
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # create duplicates across files so dedup must span micro-batches
+    dup = src.withColumn("doc_id", F.col("doc_id") + 100000)
+    in_dir = str(tmp_path / "sd_in")
+    src.repartition(3).write.parquet(in_dir)
+    dup.repartition(3).write.mode("append").parquet(in_dir)
+    out = str(tmp_path / "sd_out")
+    ck = str(tmp_path / "sd_ck")
+    stream_dedup(spark, in_dir, out, ck)
+    got = spark.read.parquet(out)
+    n_distinct = src.select("text").distinct().count()
+    assert got.count() == n_distinct
+    assert got.select("fp").distinct().count() == n_distinct
