@@ -47,3 +47,27 @@ def test_strip_pipeline_assembles_same_cogs(spark, big_images):
     strip = {r.image_id: hashlib.md5(bytes(r.cog)).hexdigest()
              for r in assemble_cogs(strip_tiles, tile=TILE).collect()}
     assert direct == strip
+
+
+@pytest.mark.slow
+def test_oversized_image_through_strip_path(spark):
+    """32-MPix image (8192x4096): multiple full-res strips at a 4-MPix
+    target, 5 pyramid levels, per-strip memory bounded — and byte-identical
+    to the direct path."""
+    import numpy as np
+    import zlib
+    from cogger_spark.fixtures import make_pixels
+    px = make_pixels(0, 8192, 4096, 1, False)
+    df = spark.createDataFrame(
+        [("img_00000000", zlib.compress(px.tobytes(), 1), 8192, 4096, "deflate")],
+        "image_id string, bytes binary, w int, h int, fmt string")
+    strip_tiles = tile_images_strips(df, tile=512, target_px=4 * 1024 * 1024)
+    direct = tile_images(df, tile=512)
+    s = {(r.level, r.plane, r.ty, r.tx): bytes(r.payload)
+         for r in strip_tiles.collect()}
+    d = {(r.level, r.plane, r.ty, r.tx): bytes(r.payload)
+         for r in direct.collect()}
+    assert set(s) == set(d)
+    assert all(s[k] == d[k] for k in d)
+    # 8192/512=16, 4096/512=8 → 128 base tiles + pyramid to 512px
+    assert len([k for k in d if k[0] == 0]) == 128
