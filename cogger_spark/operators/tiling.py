@@ -312,3 +312,4 @@ def rewrite_tiffs(tiffs: DataFrame, ghost: bool = True) -> DataFrame:
     if tiffs.rdd.getNumPartitions() < sc.defaultParallelism:
         tiffs = tiffs.repartition(sc.defaultParallelism * 2)
     return tiffs.select("image_id", "bytes").mapInPandas(kernel, REWRITE_SCHEMA)
+
