@@ -81,6 +81,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": o.DOC_FINGERPRINT,
         "exact_dedup_docs": o.EXACT_DEDUP_DOCS,
         "ngram_jaccard_pairs": o.NGRAM_JACCARD_PAIRS,
+        "dup_clusters": o.DUP_CLUSTERS,
         "embed_neardup": o.EMBED_NEARDUP,
         "ann_cosine_topk": o.ANN_COSINE_TOPK,
         # generic relational

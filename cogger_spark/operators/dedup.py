@@ -218,3 +218,52 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             .select("doc_a", "doc_b", ham.alias("hamming"))
             .distinct()
             .filter(F.col("hamming") <= max_hamming))
+
+
+# ---------------------------------------------------------------------------
+# duplicate clustering — connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def cluster_duplicates(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over (doc_a, doc_b) near-dup edges by iterative
+    min-label propagation: every node's label converges to the smallest
+    doc_id in its component (the canonical document).
+
+    Each iteration is one join + aggregate; convergence is detected with a
+    changed-labels count, so the number of Spark jobs is O(graph diameter) —
+    near-dup clusters are shallow (stars/chains), so 3-5 iterations typically
+    suffice. Returns (doc_id, canonical_id) for every node in any pair."""
+    edges = (pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+             .unionByName(pairs.select(F.col("doc_b").alias("a"),
+                                       F.col("doc_a").alias("b")))
+             .distinct())
+    labels = (edges.select(F.col("a").alias("node"))
+              .distinct()
+              .withColumn("label", F.col("node")))
+    labels = labels.localCheckpoint()
+    for _ in range(max_iters):
+        neighbor_min = (edges.join(labels, edges["b"] == labels["node"])
+                        .groupBy("a").agg(F.min("label").alias("nbr_label")))
+        updated = (labels.join(neighbor_min, labels["node"] == neighbor_min["a"],
+                               "left")
+                   .select(labels["node"],
+                           F.least(labels["label"],
+                                   F.coalesce("nbr_label", labels["label"]))
+                           .alias("label")))
+        updated = updated.localCheckpoint()  # cut lineage per iteration
+        changed = (updated.alias("u")
+                   .join(labels.alias("l"), "node")
+                   .filter(F.col("u.label") != F.col("l.label")).count())
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("canonical_id"))
+
+
+def dedup_clusters(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """End-to-end near-dup clustering: LSH candidates → exact verification →
+    connected components → (doc_id, canonical_id), sorted output columns."""
+    pairs = minhash_lsh_dedup(docs, threshold)
+    return cluster_duplicates(pairs)

@@ -313,3 +313,24 @@ def rewrite_tiffs(tiffs: DataFrame, ghost: bool = True) -> DataFrame:
         tiffs = tiffs.repartition(sc.defaultParallelism * 2)
     return tiffs.select("image_id", "bytes").mapInPandas(kernel, REWRITE_SCHEMA)
 
+
+
+def rewrite_tiff_sets(parts: DataFrame, ghost: bool = True) -> DataFrame:
+    """Multi-file rewrite (loader.go:63-106 / cogger_test.go TestMultiFiles):
+    an image's TIFF arrives as several files (main + external .ovr overview
+    files); rows (image_id, part_id, bytes) group per image, parts ordered by
+    part_id, and the codec folds all IFDs into one COG."""
+    from ..tiff.codec import Config, rewrite
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("part_id")
+        blobs = [bytes(b) for b in pdf["bytes"]]
+        cog = rewrite(*blobs, cfg=Config(with_gdal_ghost=ghost))
+        return pd.DataFrame({
+            "image_id": [pdf["image_id"].iloc[0]],
+            "cog": [cog],
+            "in_bytes": [sum(len(b) for b in blobs)],
+            "out_bytes": [len(cog)],
+        })
+
+    return parts.groupBy("image_id").applyInPandas(kernel, REWRITE_SCHEMA)

@@ -398,3 +398,39 @@ SELECT
 FROM {POINTS}
 GROUP BY 1, 2
 """
+
+# connected components over the exact blocked near-dup pairs: transitive
+# closure by recursive CTE, min reachable id per node
+DUP_CLUSTERS = """
+WITH RECURSIVE d AS (
+  SELECT doc_id, lang, source,
+    list_distinct(list_transform(
+      generate_series(1, len(string_split(text, ' ')) - 2),
+      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+           || ' ' || string_split(text, ' ')[i+2])) AS s
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      len(list_filter(a.s, x -> list_contains(b.s, x)))
+        / ((len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) * 1.0)
+        AS jaccard
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  ) WHERE jaccard >= 0.5
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node
+)
+SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS canonical_id
+FROM reach GROUP BY node
+"""

@@ -187,7 +187,17 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(_tbl(spark, sf_dir, "embeddings"), k=10, query_mod=50)
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Connected components over the EXACT blocked near-dup pairs (so the
+    recursive-CTE oracle sees the same edge set; the LSH-fed variant is
+    dedup_clusters)."""
+    from .operators.dedup import cluster_duplicates, ngram_jaccard_pairs
+    pairs = ngram_jaccard_pairs(_tbl(spark, sf_dir, "documents"), threshold=0.5)
+    return cluster_duplicates(pairs)
+
+
 DOC_QUERIES = {
+    "dup_clusters": q_dup_clusters,
     "ann_ivf_topk": q_ann_ivf_topk,               # no oracle (quantizer)
     "doc_token_stats": q_doc_token_stats,
     "doc_token_bpe": q_doc_token_bpe,

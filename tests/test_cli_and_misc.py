@@ -124,3 +124,35 @@ def test_rewrite_tiffs_idempotent_on_own_cogs(spark, smoke_images):
         [(k, v) for k, v in cogs.items()], "image_id string, bytes binary")
     redone = {r.image_id: bytes(r.cog) for r in rewrite_tiffs(tiffs).collect()}
     assert redone == cogs
+
+
+def test_rewrite_tiff_sets_matches_reference_goldens(spark):
+    """The reference's multi-file golden cases THROUGH the Spark operator:
+    md5(engine output) == committed cog_ext_*.tif."""
+    import hashlib
+    import pathlib
+    from cogger_spark.operators.tiling import rewrite_tiff_sets, rewrite_tiffs
+    td = pathlib.Path("/root/reference/testdata")
+    rows = []
+    for i, name in enumerate(["exttest.tif", "exttest.tif.ovr"]):
+        rows.append(("ext_ovr", i, (td / name).read_bytes()))
+    for i, name in enumerate(["exttest.tif", "exttest.tif.2", "exttest.tif.4"]):
+        rows.append(("ext_multi", i, (td / name).read_bytes()))
+    df = spark.createDataFrame(rows, "image_id string, part_id int, bytes binary")
+    got = {r.image_id: hashlib.md5(bytes(r.cog)).hexdigest()
+           for r in rewrite_tiff_sets(df).collect()}
+    want = {
+        "ext_ovr": hashlib.md5((td / "cog_ext_ovr.tif").read_bytes()).hexdigest(),
+        "ext_multi": hashlib.md5((td / "cog_ext_multi.tif").read_bytes()).hexdigest(),
+    }
+    assert got == want
+
+    # single-file goldens through the single-blob Spark operator too
+    singles = [(n, (td / n).read_bytes())
+               for n in ("gray.tif", "rgbmask.tif", "band4.tif")]
+    sdf = spark.createDataFrame(singles, "image_id string, bytes binary")
+    got1 = {r.image_id: hashlib.md5(bytes(r.cog)).hexdigest()
+            for r in rewrite_tiffs(sdf).collect()}
+    for name, _ in singles:
+        expected = hashlib.md5((td / f"cog_{name}").read_bytes()).hexdigest()
+        assert got1[name] == expected, name

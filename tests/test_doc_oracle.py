@@ -44,6 +44,7 @@ ORACLE_CASES = [
     ("doc_fingerprint", "DOC_FINGERPRINT"),
     ("exact_dedup_docs", "EXACT_DEDUP_DOCS"),
     ("ngram_jaccard_pairs", "NGRAM_JACCARD_PAIRS"),
+    ("dup_clusters", "DUP_CLUSTERS"),
     ("embed_neardup", "EMBED_NEARDUP"),
     ("ann_cosine_topk", "ANN_COSINE_TOPK"),
     ("pricing_summary", "PRICING_SUMMARY"),
