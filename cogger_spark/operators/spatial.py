@@ -289,3 +289,70 @@ def salted_count_by(df: DataFrame, key: str, salt_buckets: int = 32) -> DataFram
         "_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_buckets)))
     partial = salted.groupBy(key, "_salt").agg(F.count(F.lit(1)).alias("_c"))
     return partial.groupBy(key).agg(F.sum("_c").alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# J7+ — pixel-level zonal statistics (raster values, not just footprints)
+# ---------------------------------------------------------------------------
+
+
+def tile_pixel_stats(images: DataFrame, tile: int = 512) -> DataFrame:
+    """Level-0 tiles with real pixel statistics over the VALID region (edge
+    padding excluded): sum/min/max/count per tile, all bands pooled.
+    One narrow mapInPandas stage; emits no payloads (stats only), so the
+    shuffle to any downstream join moves a few longs per tile."""
+    from ..operators.tiling import infer_planes
+
+    schema = ("image_id string, ty int, tx int, px_count long, "
+              "px_sum long, px_min int, px_max int")
+
+    def kernel(batches):
+        import zlib
+        for pdf in batches:
+            out = {k: [] for k in ("image_id", "ty", "tx", "px_count",
+                                   "px_sum", "px_min", "px_max")}
+            for r in pdf.itertuples(index=False):
+                w, h = int(r.w), int(r.h)
+                buf = zlib.decompress(r.bytes) if r.fmt == "deflate" else r.bytes
+                nplanes, mask = infer_planes(len(buf), w, h)
+                px = np.frombuffer(buf, dtype=np.uint8) \
+                    .reshape(h, w, nplanes + (1 if mask else 0))[:, :, :nplanes]
+                nty, ntx = -(-h // tile), -(-w // tile)
+                for ty in range(nty):
+                    for tx in range(ntx):
+                        block = px[ty * tile:(ty + 1) * tile,
+                                   tx * tile:(tx + 1) * tile]
+                        out["image_id"].append(r.image_id)
+                        out["ty"].append(ty)
+                        out["tx"].append(tx)
+                        out["px_count"].append(int(block.size))
+                        out["px_sum"].append(int(block.sum(dtype=np.int64)))
+                        out["px_min"].append(int(block.min()))
+                        out["px_max"].append(int(block.max()))
+            yield pd.DataFrame(out)
+
+    sc = images.sparkSession.sparkContext
+    if images.rdd.getNumPartitions() < sc.defaultParallelism:
+        images = images.repartition(sc.defaultParallelism * 2)
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+                 .mapInPandas(kernel, schema=schema)
+
+
+def zonal_pixel_stats(zones: DataFrame, images: DataFrame,
+                      tile: int = 512, res: int = DEFAULT_RES) -> DataFrame:
+    """Per-zone statistics over the actual raster values of overlapping
+    tiles: the metadata zonal join (cover cells + overlap refine) enriched
+    with the tile pixel stats — mean = Σsum/Σcount across the zone's tiles."""
+    extents = tile_manifest(images, tile=tile, level=0)
+    stats = tile_pixel_stats(images, tile=tile)
+    tiles = extents.join(stats, ["image_id", "ty", "tx"])
+    pairs = zonal_join(zones, tiles.withColumn("level", F.lit(0)), res=res)
+    enriched = pairs.join(stats, ["image_id", "ty", "tx"])
+    return (enriched.groupBy("zone_id")
+            .agg(F.count(F.lit(1)).alias("n_tiles"),
+                 F.sum("px_sum").alias("value_sum"),
+                 F.sum("px_count").alias("value_count"),
+                 F.min("px_min").alias("value_min"),
+                 F.max("px_max").alias("value_max"))
+            .withColumn("value_mean",
+                        F.round(F.col("value_sum") / F.col("value_count"), 6)))

@@ -54,3 +54,59 @@ def test_tile_offsets_raw_matches_oracle(spark):
     # real pixel work on the Spark side vs closed-form SQL
     compare(queries.q_tile_offsets_raw(spark, "/root/testdata/sf0.01"),
             oracles.TILE_OFFSETS_RAW)
+
+
+def test_tile_pixel_stats_match_numpy(spark, fixture_dir):
+    """Per-tile pixel stats from the Spark kernel equal direct NumPy over the
+    regenerated fixture pixels."""
+    import numpy as np
+    from cogger_spark import fixtures
+    from cogger_spark.fixtures import FIXTURE_DIR
+    from cogger_spark.operators.spatial import tile_pixel_stats
+    images = spark.read.parquet(str(FIXTURE_DIR / "images_test.parquet")) \
+        .filter("image_id in ('img_00000000','img_00000003','img_00000005')")
+    got = {(r.image_id, r.ty, r.tx): (r.px_count, r.px_sum, r.px_min, r.px_max)
+           for r in tile_pixel_stats(images, tile=512).collect()}
+    for i in (0, 3, 5):
+        w, h = fixtures.image_dims(i)
+        px = fixtures.make_pixels(i, w, h, fixtures.n_bands(i),
+                                  fixtures.has_mask(i))[:, :, :fixtures.n_bands(i)]
+        for ty in range(-(-h // 512)):
+            for tx in range(-(-w // 512)):
+                b = px[ty * 512:(ty + 1) * 512, tx * 512:(tx + 1) * 512]
+                k = (f"img_{i:08d}", ty, tx)
+                assert got[k] == (b.size, int(b.sum(dtype=np.int64)),
+                                  int(b.min()), int(b.max())), k
+
+
+def test_zonal_pixel_stats_consistent(spark, fixture_dir):
+    from cogger_spark.fixtures import FIXTURE_DIR
+    from cogger_spark.operators.spatial import zonal_pixel_stats
+    images = spark.read.parquet(str(FIXTURE_DIR / "images_test.parquet"))
+    zones = spark.read.parquet(str(FIXTURE_DIR / "zones_test.parquet"))
+    rows = zonal_pixel_stats(zones, images).collect()
+    assert rows
+    for r in rows:
+        assert r.value_count > 0
+        assert 0 <= r.value_min <= r.value_max <= 255
+        assert abs(r.value_mean - r.value_sum / r.value_count) < 1e-6
+
+
+def test_sql_api_over_engine_views(spark, fixture_dir):
+    """The engine's relations compose with plain spark.sql (same Catalyst
+    plans either way)."""
+    from cogger_spark.fixtures import FIXTURE_DIR
+    from cogger_spark.operators.spatial import tile_manifest
+    images = spark.read.parquet(str(FIXTURE_DIR / "images_test.parquet"))
+    tile_manifest(images, level=None).createOrReplaceTempView("tiles_v")
+    spark.read.parquet(str(FIXTURE_DIR / "points_test.parquet")) \
+        .createOrReplaceTempView("points_v")
+    out = spark.sql("""
+        SELECT t.image_id, COUNT(*) AS n_points
+        FROM points_v p JOIN tiles_v t
+          ON p.lon >= t.lon_min AND p.lon < t.lon_max
+         AND p.lat >= t.lat_min AND p.lat < t.lat_max
+        WHERE t.level = 0
+        GROUP BY t.image_id ORDER BY n_points DESC LIMIT 5
+    """).collect()
+    assert out and out[0].n_points >= out[-1].n_points
