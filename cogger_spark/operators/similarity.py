@@ -55,7 +55,7 @@ def brute_force_topk(embeddings: DataFrame, k: int = 10,
                     F.col("rank").cast("long").alias("rank")))
 
 
-def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.8) -> DataFrame:
+def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
     """Exact near-duplicate pairs (cosine >= threshold) within label blocks —
     the embedding analogue of blocked Jaccard dedup."""
     a = embeddings.select("label", F.col("vec_id").alias("vec_a"),

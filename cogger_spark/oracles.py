@@ -285,7 +285,7 @@ SELECT label, vec_a, vec_b, cosine FROM (
   SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
     ROUND({_COS}, 9) AS cosine
   FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-) WHERE cosine >= 0.8
+) WHERE cosine >= 0.4
 """
 
 ANN_COSINE_TOPK = """

@@ -169,7 +169,7 @@ def q_simhash_pairs(spark, sf_dir):
 
 def q_embed_neardup(spark, sf_dir):
     from .operators.similarity import cosine_neardup_pairs
-    return cosine_neardup_pairs(_tbl(spark, sf_dir, "embeddings"), threshold=0.8)
+    return cosine_neardup_pairs(_tbl(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
 def q_ann_cosine_topk(spark, sf_dir):
