@@ -26,6 +26,7 @@ import numpy as np
 
 RAW = "raw"
 DEFLATE = "deflate"
+QUANT6 = "quant6"  # lossy: 6-bit uniform quantization + deflate (~47 dB PSNR)
 _LOSSLESS = {RAW, DEFLATE}
 
 # zlib level for engine-produced tiles: level 1 trades a few % of ratio for
@@ -58,6 +59,13 @@ def encode_image(px: np.ndarray, fmt: str) -> bytes:
     if fmt == DEFLATE:
         return zlib.compress(np.ascontiguousarray(px, dtype=np.uint8).tobytes(),
                              DEFLATE_LEVEL)
+    if fmt == QUANT6:
+        # the engine's lossy path: drop the 2 LSBs (uniform step-4 quantizer,
+        # MSE=(4²-1)/12 → ~47 dB PSNR, comfortably over the >=40 dB per-row
+        # invariant for lossy formats), then deflate the (more compressible)
+        # quantized plane. Decodes as plain deflate.
+        q = (np.ascontiguousarray(px, dtype=np.uint8) & 0xFC)
+        return zlib.compress(q.tobytes(), DEFLATE_LEVEL)
     raise ValueError(f"unknown format {fmt!r}")
 
 

@@ -181,7 +181,8 @@ def assemble_cogs(tiles: DataFrame, tile: int = 512,
     RewriteSplitted/RewriteIFDTreeSplitted surface (S6, loader.go:67,
     cog.go:765-780), letting the sink route metadata and payload bytes to
     different destinations."""
-    comp_tag = 8 if compression == "deflate" else 1
+    # quant6 is pre-quantization + deflate → the TIFF payload codec is still 8
+    comp_tag = 1 if compression == "raw" else 8
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         image_id = pdf["image_id"].iloc[0]

@@ -171,3 +171,27 @@ def test_infer_planes():
     assert infer_planes(100 * 50 * 2, 100, 50) == (1, True)
     assert infer_planes(100 * 50 * 5, 100, 50) == (4, True)
     assert infer_planes(100 * 50 * 4, 100, 50) == (4, False)
+
+
+def test_lossy_pipeline_psnr_over_40db(spark, smoke_images):
+    """The lossy path (quant6): decoded output is NOT exact, but every image
+    meets the per-row PSNR >= 40 dB invariant (BASELINE.json:15)."""
+    from cogger_spark.functions.imagecodecs import psnr
+    images = spark.read.parquet(smoke_images).limit(6)
+    out = cog_pipeline(images, tile=TILE, compression="quant6").collect()
+    assert len(out) == 6
+    for row in out:
+        i = int(row.image_id[4:])
+        px, w, h, bands, mask = _expected_pixels(i)
+        tf = parse_tiff(bytes(row.cog))
+        main = assemble_ifd_tree(tf.ifds)
+        tiles = {}
+        for ty in range(main.n_tiles_y()):
+            for tx in range(main.n_tiles_x()):
+                blob = main.load_tile(main.tile_idx(tx, ty, 0))
+                tiles[(tx, ty)] = decode_image(
+                    zlib.decompress(blob), TILE, TILE, "raw", bands)
+        got = stitch_tiles(tiles, w, h, bands, TILE)
+        p = psnr(px[:, :, :bands], got)
+        assert p >= 40.0, f"{row.image_id}: PSNR {p:.1f} dB"
+        assert not (got == px[:, :, :bands]).all() or px.max() < 4
