@@ -156,3 +156,20 @@ def test_rewrite_tiff_sets_matches_reference_goldens(spark):
     for name, _ in singles:
         expected = hashlib.md5((td / f"cog_{name}").read_bytes()).hexdigest()
         assert got1[name] == expected, name
+
+
+def test_cli_convert_checkpointed(spark, smoke_images, tmp_path):
+    """CLI convert: per-bucket checkpointed COG job; rerun is a no-op (all
+    buckets already complete)."""
+    from cogger_spark import cli
+    out = str(tmp_path / "cog_out")
+    ck = str(tmp_path / "cog_ck")
+    rc = cli.main(["convert", "--images", smoke_images, "--out", out,
+                   "--buckets", "4", "--ckpt", ck])
+    assert rc == 0
+    got = spark.read.parquet(out + "/bucket=*")
+    assert got.count() == 50
+    assert got.select("image_id").distinct().count() == 50
+    # second run: nothing left to do
+    from cogger_spark.plans.checkpoint import remaining_buckets
+    assert remaining_buckets(4, ck) == []
