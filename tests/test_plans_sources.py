@@ -163,3 +163,21 @@ def test_stateful_streaming_dedup(spark, tmp_path):
     n_distinct = src.select("text").distinct().count()
     assert got.count() == n_distinct
     assert got.select("fp").distinct().count() == n_distinct
+
+
+def test_stream_cog_matches_batch(spark, smoke_images, tmp_path):
+    """Full COG pipeline per micro-batch: streamed blobs equal the batch run
+    (incremental ingest with the batch operators reused verbatim)."""
+    import hashlib
+    from cogger_spark.operators.tiling import cog_pipeline
+    from cogger_spark.streaming.ingest import stream_cog
+    in_dir = str(tmp_path / "sc_in")
+    spark.read.parquet(smoke_images).limit(12).repartition(3).write.parquet(in_dir)
+    out = str(tmp_path / "sc_out")
+    ck = str(tmp_path / "sc_ck")
+    stream_cog(spark, in_dir, out, ck)
+    got = {r.image_id: hashlib.md5(bytes(r.cog)).hexdigest()
+           for r in spark.read.parquet(out).collect()}
+    want = {r.image_id: hashlib.md5(bytes(r.cog)).hexdigest()
+            for r in cog_pipeline(spark.read.parquet(in_dir)).collect()}
+    assert got == want
