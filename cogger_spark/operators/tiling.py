@@ -335,3 +335,124 @@ def rewrite_tiff_sets(parts: DataFrame, ghost: bool = True) -> DataFrame:
         })
 
     return parts.groupBy("image_id").applyInPandas(kernel, REWRITE_SCHEMA)
+
+
+PARTS_SCHEMA = "image_id string, part_idx int, part binary"
+
+
+def assemble_cog_parts(tiles: DataFrame, tile: int = 512,
+                       compression: str = "deflate", ghost: bool = True,
+                       tiles_per_part: int = 256) -> DataFrame:
+    """Streaming assembly for oversized images: instead of one blob per
+    image, emit ordered parts — part 0 is the full header (built from tile
+    METADATA only, no payloads), parts 1..k are ghost-framed tile-data chunks
+    of <= tiles_per_part tiles each.
+
+    Memory per task is bounded by the chunk, not the image: a 10-gigapixel
+    image assembles as ~160 independent 256-tile parts. A sink appends parts
+    in part_idx order (write_cog_parts) — the engine's equivalent of the
+    reference's streaming io.Writer (cog.go:722-750). Byte concatenation of
+    all parts equals the assemble_cogs blob exactly (tested)."""
+    comp_tag = 1 if compression == "raw" else 8
+
+    meta_cols = ["image_id", "level", "plane", "ty", "tx", "level_w",
+                 "level_h", "n_levels", "planes", "has_mask", "byte_count"]
+
+    def header_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        # rebuild the IFD tree with byte counts only; the codec computes the
+        # full header incl. offsets without touching payloads (two-pass plan
+        # of cog.go:568-596 — the dry run needs lengths, not bytes)
+        from ..tiff.codec import _Writer
+        image_id = pdf["image_id"].iloc[0]
+        nplanes = int(pdf["planes"].iloc[0])
+        has_mask = bool(pdf["has_mask"].iloc[0])
+        n_levels = int(pdf["n_levels"].iloc[0])
+        lon0, lat0 = anchor(img_index(image_id))
+        counts = {}
+        level_dims = {}
+        for r in pdf.itertuples(index=False):
+            counts[(r.level, r.plane, r.ty, r.tx)] = int(r.byte_count)
+            level_dims[r.level] = (int(r.level_w), int(r.level_h))
+
+        def make_ifd(level: int, plane: int) -> IFD:
+            lw, lh = level_dims[level]
+            ntx, nty = -(-lw // tile), -(-lh // tile)
+            tbc = [counts[(level, plane, y, x)]
+                   for y in range(nty) for x in range(ntx)]
+            bands = nplanes if plane == 0 else 1
+            ifd = IFD(image_width=lw, image_height=lh,
+                      bits_per_sample=(8,) * bands, compression=comp_tag,
+                      photometric=(4 if plane == 1 else (2 if bands >= 3 else 1)),
+                      samples_per_pixel=bands, planar_configuration=1,
+                      tile_width=tile, tile_height=tile,
+                      tile_byte_counts=tuple(tbc),
+                      tile_offsets=tuple([0] * len(tbc)),
+                      software="cogger_spark")
+            if plane == 0 and bands == 4:
+                ifd.extra_samples = (0,)
+            if level == 0 and plane == 0:
+                ifd.model_pixel_scale = (PIXEL_DEG, PIXEL_DEG, 0.0)
+                ifd.model_tie_point = (0.0, 0.0, 0.0, lon0, lat0, 0.0)
+            return ifd
+
+        main = make_ifd(0, 0)
+        for lvl in range(1, n_levels):
+            ovr = make_ifd(lvl, 0)
+            if has_mask:
+                ovr.add_mask(make_ifd(lvl, 1))
+            main.add_overview(ovr)
+        if has_mask:
+            main.add_mask(make_ifd(0, 1))
+        header = _Writer(main, Config(with_gdal_ghost=ghost)).header()
+        return pd.DataFrame({"image_id": [image_id], "part_idx": [0],
+                             "part": [header]})
+
+    headers = (tiles.select(*meta_cols)
+               .groupBy("image_id").applyInPandas(header_kernel, PARTS_SCHEMA))
+
+    ranked = with_tile_order(tiles).withColumn(
+        "chunk", (F.col("tile_rank") / F.lit(tiles_per_part)).cast("int"))
+
+    def chunk_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import struct as _struct
+        pdf = pdf.sort_values("tile_rank")
+        out = bytearray()
+        for r in pdf.itertuples(index=False):
+            payload = bytes(r.payload)
+            if not payload:
+                continue  # sparse elision
+            if ghost:
+                lead = _struct.pack("<I", len(payload))
+                out += lead + payload + (lead + payload)[-4:]
+            else:
+                out += payload
+        return pd.DataFrame({"image_id": [pdf["image_id"].iloc[0]],
+                             "part_idx": [int(pdf["chunk"].iloc[0]) + 1],
+                             "part": [bytes(out)]})
+
+    data_parts = (ranked.groupBy("image_id", "chunk")
+                  .applyInPandas(chunk_kernel, PARTS_SCHEMA))
+    return headers.unionByName(data_parts)
+
+
+def write_cog_parts(parts: DataFrame, out_dir: str) -> None:
+    """Append parts in order to <out_dir>/<image_id>.tif. Parts of one image
+    are routed to one task (repartition by image_id) and appended in part_idx
+    order — constant memory per file."""
+    import os
+
+    def write_partition(rows):
+        os.makedirs(out_dir, exist_ok=True)
+        handles = {}
+        for r in rows:
+            f = handles.get(r.image_id)
+            if f is None:
+                f = open(os.path.join(out_dir, f"{r.image_id}.tif"), "wb")
+                handles[r.image_id] = f
+            f.write(bytes(r.part))
+        for f in handles.values():
+            f.close()
+
+    (parts.repartition("image_id")
+     .sortWithinPartitions("image_id", "part_idx")
+     .foreachPartition(write_partition))

@@ -71,3 +71,42 @@ def test_oversized_image_through_strip_path(spark):
     assert all(s[k] == d[k] for k in d)
     # 8192/512=16, 4096/512=8 → 128 base tiles + pyramid to 512px
     assert len([k for k in d if k[0] == 0]) == 128
+
+
+def test_assemble_parts_equals_whole_blob(spark, big_images):
+    """Streaming parts assembly ≡ single-blob assembly: concatenating parts
+    in order reproduces assemble_cogs byte-for-byte, with chunk memory
+    bounded by tiles_per_part."""
+    from cogger_spark.operators.tiling import (
+        assemble_cog_parts, assemble_cogs, tile_images)
+    tiles = tile_images(big_images, tile=TILE)
+    whole = {r.image_id: bytes(r.cog)
+             for r in assemble_cogs(tile_images(big_images, tile=TILE),
+                                    tile=TILE).collect()}
+    parts = assemble_cog_parts(tiles, tile=TILE, tiles_per_part=7).collect()
+    by_img = {}
+    for r in parts:
+        by_img.setdefault(r.image_id, []).append((r.part_idx, bytes(r.part)))
+    assert set(by_img) == set(whole)
+    for iid, plist in by_img.items():
+        blob = b"".join(p for _, p in sorted(plist))
+        assert blob == whole[iid], iid
+
+
+def test_write_cog_parts_files(spark, big_images, tmp_path):
+    import pathlib
+    from cogger_spark.operators.tiling import (
+        assemble_cog_parts, assemble_cogs, tile_images, write_cog_parts)
+    from cogger_spark.tiff import parse_tiff
+    parts = assemble_cog_parts(tile_images(big_images, tile=TILE), tile=TILE)
+    out = tmp_path / "parts_out"
+    write_cog_parts(parts, str(out))
+    whole = {r.image_id: bytes(r.cog)
+             for r in assemble_cogs(tile_images(big_images, tile=TILE),
+                                    tile=TILE).collect()}
+    files = list(pathlib.Path(out).glob("*.tif"))
+    assert len(files) == len(whole)
+    for f in files:
+        data = f.read_bytes()
+        assert data == whole[f.stem]
+        assert parse_tiff(data).ifds
