@@ -130,3 +130,18 @@ def test_fixture_pixels_closed_form():
     assert px[0, 128, 2] == 0
     assert px[0, 129, 2] == (v * 1) & 0xFF
     assert px[0, 131, 2] == (v * 3) & 0xFF
+
+
+def test_committed_fixtures_match_generator():
+    """Drift guard: the committed parquet fixtures must equal the generator's
+    output exactly — the DuckDB oracles and Spark queries read the same
+    committed bytes, so silent generator drift would desynchronize them."""
+    import pyarrow.parquet as pq
+    from cogger_spark.fixtures import (
+        FIXTURE_DIR, make_images_table, make_points_table, make_zones_table)
+    assert make_images_table(240).equals(
+        pq.read_table(FIXTURE_DIR / "images_test.parquet"))
+    assert make_points_table(240).equals(
+        pq.read_table(FIXTURE_DIR / "points_test.parquet"))
+    assert make_zones_table(40, 240).equals(
+        pq.read_table(FIXTURE_DIR / "zones_test.parquet"))
