@@ -134,3 +134,25 @@ def audio_features(audio: DataFrame, window: int = 1024) -> DataFrame:
 
     return audio.select("audio_id", "bytes", "fmt") \
                 .mapInPandas(kernel, schema=schema)
+
+
+def compute_phash(images: DataFrame) -> DataFrame:
+    """Recompute the perceptual hash from pixels (average-hash kernel,
+    functions/phash.py) — the engine-side alternative to trusting the input
+    phash column. Identical pixel content yields identical hashes, so the
+    output keys the same dedup paths (phash_canonical / dedup_images)."""
+    from ..functions.phash import average_hash
+
+    schema = "image_id string, computed_phash long"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for r in pdf.itertuples(index=False):
+                px = _decode(r.bytes, int(r.w), int(r.h), r.fmt)
+                ids.append(r.image_id)
+                hashes.append(average_hash(px))
+            yield pd.DataFrame({"image_id": ids, "computed_phash": hashes})
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+                 .mapInPandas(kernel, schema=schema)

@@ -181,3 +181,23 @@ def test_stream_cog_matches_batch(spark, smoke_images, tmp_path):
     want = {r.image_id: hashlib.md5(bytes(r.cog)).hexdigest()
             for r in cog_pipeline(spark.read.parquet(in_dir)).collect()}
     assert got == want
+
+
+def test_compute_phash_duplicates_share_hash(spark, smoke_images):
+    """Fixture pattern repeats with period lcm(dims=8, bands=3, mask=5)... —
+    images 0 and 120 have identical pixels in the 240-row TEST fixture, but
+    the 50-row smoke set has no full-period duplicates; instead assert
+    determinism (two runs equal) and that same-content rows collide."""
+    import pyspark.sql.functions as F
+    from cogger_spark.operators.multimodal import compute_phash
+    from cogger_spark.fixtures import FIXTURE_DIR, ensure_test_fixtures
+    ensure_test_fixtures()
+    images = spark.read.parquet(str(FIXTURE_DIR / "images_test.parquet"))
+    got = {r.image_id: r.computed_phash for r in compute_phash(images).collect()}
+    assert len(got) == 240
+    # period-120 duplicates share pixel content → equal hashes
+    assert got["img_00000000"] == got["img_00000120"]
+    assert got["img_00000007"] == got["img_00000127"]
+    # determinism
+    again = {r.image_id: r.computed_phash for r in compute_phash(images).collect()}
+    assert got == again
