@@ -156,3 +156,39 @@ def compute_phash(images: DataFrame) -> DataFrame:
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
                  .mapInPandas(kernel, schema=schema)
+
+
+def band_index_stats(images: DataFrame, band_a: int = 0, band_b: int = 1) -> DataFrame:
+    """Raster algebra: per-image normalized-difference index
+    (a-b)/(a+b) between two bands (the NDVI shape), reduced to per-image
+    statistics — mean/min/max over valid pixels (denominator > 0). Pixel math
+    runs vectorized in the Arrow kernel; images lacking band_b are skipped."""
+    schema = ("image_id string, n_valid long, nd_mean double, "
+              "nd_min double, nd_max double")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "n_valid": [], "nd_mean": [],
+                   "nd_min": [], "nd_max": []}
+            for r in pdf.itertuples(index=False):
+                from .tiling import infer_planes
+                px = _decode(r.bytes, int(r.w), int(r.h), r.fmt)
+                nbands, _has_mask = infer_planes(px.size, int(r.w), int(r.h))
+                if nbands <= max(band_a, band_b):
+                    continue  # not enough imagery bands (mask excluded)
+                a = px[:, :, band_a].astype(np.float64)
+                b = px[:, :, band_b].astype(np.float64)
+                denom = a + b
+                valid = denom > 0
+                nd = np.zeros_like(a)
+                nd[valid] = (a[valid] - b[valid]) / denom[valid]
+                vals = nd[valid]
+                out["image_id"].append(r.image_id)
+                out["n_valid"].append(int(valid.sum()))
+                out["nd_mean"].append(float(vals.mean()) if vals.size else 0.0)
+                out["nd_min"].append(float(vals.min()) if vals.size else 0.0)
+                out["nd_max"].append(float(vals.max()) if vals.size else 0.0)
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+                 .mapInPandas(kernel, schema=schema)

@@ -201,3 +201,33 @@ def test_compute_phash_duplicates_share_hash(spark, smoke_images):
     # determinism
     again = {r.image_id: r.computed_phash for r in compute_phash(images).collect()}
     assert got == again
+
+
+def test_band_index_stats_vs_numpy(spark):
+    import numpy as np
+    from cogger_spark import fixtures
+    from cogger_spark.fixtures import FIXTURE_DIR, ensure_test_fixtures
+    from cogger_spark.operators.multimodal import band_index_stats
+    ensure_test_fixtures()
+    images = spark.read.parquet(str(FIXTURE_DIR / "images_test.parquet")) \
+        .filter("image_id in ('img_00000001','img_00000002','img_00000000')")
+    got = {r.image_id: r for r in band_index_stats(images).collect()}
+    # img_00000000 is 1-band (bands cycle) → skipped
+    assert "img_00000000" not in got
+    for i in (1, 2):
+        iid = f"img_{i:08d}"
+        w, h = fixtures.image_dims(i)
+        bands = fixtures.n_bands(i)
+        if bands < 2:
+            assert iid not in got
+            continue
+        px = fixtures.make_pixels(i, w, h, bands, fixtures.has_mask(i))
+        a = px[:, :, 0].astype(np.float64)
+        b = px[:, :, 1].astype(np.float64)
+        denom = a + b
+        valid = denom > 0
+        vals = (a[valid] - b[valid]) / denom[valid]
+        r = got[iid]
+        assert r.n_valid == int(valid.sum())
+        assert abs(r.nd_mean - vals.mean()) < 1e-12
+        assert r.nd_min == vals.min() and r.nd_max == vals.max()
