@@ -83,9 +83,24 @@ def main() -> None:
     # one straggler split. Small splits restore row-count-granular balance;
     # real (incompressible) imagery splits correctly at the 128MB default.
     spark = get_spark("cogger-bench", cores=args.cores,
-                      shuffle_partitions=args.cores,
-                      extra={"spark.sql.files.maxPartitionBytes": "1m",
-                             "spark.sql.files.openCostInBytes": "0"})
+                      shuffle_partitions=args.cores)
+
+    from contextlib import contextmanager
+
+    @contextmanager
+    def small_splits():
+        """Row-count-granular input splits for the PIXEL stages only (the
+        synthetic data is so compressible that byte-sized splits starve
+        parallelism and skew decode cost); metadata/spatial queries keep the
+        default 128m splits (a 1m global setting costs ~1300 footer-opening
+        tasks per metadata scan)."""
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+            spark.conf.set("spark.sql.files.openCostInBytes", "4194304")
     spark.sparkContext.setLogLevel("ERROR")
 
     images = spark.read.parquet(str(bench_root / "images.parquet"))
@@ -102,11 +117,12 @@ def main() -> None:
         return result
 
     # warm the JVM, python worker pool, and codegen before timing
-    cog_pipeline(images.limit(8), tile=512).count()
+    with small_splits():
+        cog_pipeline(images.limit(8), tile=512).count()
 
-    # 1. flagship: full COG pipeline (decode → pyramid → tiles → blobs)
-    agg = timed("cog_pipeline", lambda: cog_pipeline(images, tile=512)
-                .agg({"n_tiles": "sum", "total_bytes": "sum"}).collect()[0])
+        # 1. flagship: full COG pipeline (decode → pyramid → tiles → blobs)
+        agg = timed("cog_pipeline", lambda: cog_pipeline(images, tile=512)
+                    .agg({"n_tiles": "sum", "total_bytes": "sum"}).collect()[0])
     n_tiles = int(agg["sum(n_tiles)"])
     total_mb = int(agg["sum(total_bytes)"]) / 1e6
     cog_sec = timings["cog_pipeline"]
@@ -117,14 +133,15 @@ def main() -> None:
     #    preparation is untimed and cached.
     from cogger_spark.operators.tiling import rewrite_tiffs
     rew_dir = str(bench_root / "tiffs_raw_parquet")
-    if not pathlib.Path(rew_dir, "_SUCCESS").exists():
-        subset = images.limit(max(48, n_images // 10))
-        (cog_pipeline(subset, tile=512, compression="raw")
-         .select("image_id", F.col("cog").alias("bytes"))
-         .write.mode("overwrite").parquet(rew_dir))
-    tiffs = spark.read.parquet(rew_dir)
-    rew = timed("cog_rewrite", lambda: rewrite_tiffs(tiffs)
-                .agg({"in_bytes": "sum"}).collect()[0])
+    with small_splits():
+        if not pathlib.Path(rew_dir, "_SUCCESS").exists():
+            subset = images.limit(max(48, n_images // 10))
+            (cog_pipeline(subset, tile=512, compression="raw")
+             .select("image_id", F.col("cog").alias("bytes"))
+             .write.mode("overwrite").parquet(rew_dir))
+        tiffs = spark.read.parquet(rew_dir)
+        rew = timed("cog_rewrite", lambda: rewrite_tiffs(tiffs)
+                    .agg({"in_bytes": "sum"}).collect()[0])
     rewrite_mb = int(rew["sum(in_bytes)"]) / 1e6
 
     # 3. tile metadata + spatial joins over the bench-scale tables
