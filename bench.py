@@ -135,7 +135,10 @@ def main() -> None:
     rew_dir = str(bench_root / "tiffs_raw_parquet")
     with small_splits():
         if not pathlib.Path(rew_dir, "_SUCCESS").exists():
-            subset = images.limit(max(48, n_images // 10))
+            # fixed-size subset: the rewrite measurement is MB/s, it does not
+            # need to scale with n_images — and raw COG blobs are tens of MB
+            # each, so an unbounded subset OOMs the parquet writer's buffers
+            subset = images.limit(96)
             (cog_pipeline(subset, tile=512, compression="raw")
              .select("image_id", F.col("cog").alias("bytes"))
              .write.mode("overwrite").parquet(rew_dir))

@@ -74,6 +74,10 @@ def run(cores: int, sf_dir: str) -> dict:
         [sys.executable, "bench.py", "--cores", str(cores), "--sf-dir", sf_dir],
         capture_output=True, text=True, cwd=pathlib.Path(__file__).parent,
         timeout=3600, env=env)
+    if not out.stdout.strip():
+        raise RuntimeError(
+            f"bench.py --cores {cores} produced no output; stderr tail:\n"
+            + out.stderr[-3000:])
     line = out.stdout.strip().splitlines()[-1]
     rec = json.loads(line)
     rec["subprocess_wall"] = round(time.time() - t0, 1)
