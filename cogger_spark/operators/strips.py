@@ -211,14 +211,25 @@ def tile_images_strips(images: DataFrame, tile: int = 512,
                        max_levels: int = 16) -> DataFrame:
     """images → tiles via the strip pipeline. Level k is an iterative
     DataFrame pass over level k-1 (the VRT barrier of pcogger:60-77 becomes a
-    shuffle); n_levels is data-dependent so the loop unions a fixed number of
-    level frames and lets empty ones vanish at run time."""
+    shuffle). n_levels is data-dependent, so the loop depth comes from a
+    cheap driver-side max(w), max(h) scan (parquet footer stats): the deepest
+    possible pyramid is the halvings-until-one-tile closed form on the
+    largest dims — per-image n_levels can only be smaller (the min with the
+    min-size rule), and each frame filters `level < n_levels`. This avoids
+    unioning max_levels-1 mostly-empty shuffle stages for shallow inputs;
+    max_levels stays as a hard cap."""
+    import math
+    dims = images.agg(F.max("w").alias("w"), F.max("h").alias("h")).first()
+    k_tile = max(0,
+                 math.ceil(math.log2(max(int(dims["w"]), 1) / tile)),
+                 math.ceil(math.log2(max(int(dims["h"]), 1) / tile)))
+    depth = min(max_levels, k_tile + 1)
     level0 = strips_level0(images, tile=tile, target_px=target_px)
     # localCheckpoint would cut lineage on a real cluster run; at these sizes
     # the rebuilt lineage is cheaper than materialization.
     frames = [level0]
     current = level0
-    for lvl in range(1, max_levels):
+    for lvl in range(1, depth):
         nxt = next_level_strips(current, lvl, tile=tile, target_px=target_px)
         nxt = nxt.filter(F.col("level") < F.col("n_levels"))
         frames.append(nxt)

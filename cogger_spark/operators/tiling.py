@@ -243,9 +243,12 @@ def assemble_cogs(tiles: DataFrame, tile: int = 512,
         writer = _Writer(main, Config(with_gdal_ghost=ghost))
         header = writer.header()
         data = b"".join(writer.tile_data())
-        header_end = min(o for f in [main] + ([main.mask] if main.mask else [])
-                         + main.overviews + [o.mask for o in main.overviews if o.mask]
-                         for o in f.new_tile_offsets if o > 0)
+        # default covers the fully-sparse image (every byte_count 0): no tile
+        # occupies bytes, so the data section is empty and the header is all
+        header_end = min((o for f in [main] + ([main.mask] if main.mask else [])
+                          + main.overviews + [o.mask for o in main.overviews if o.mask]
+                          for o in f.new_tile_offsets if o > 0),
+                         default=len(header))
         base = {
             "image_id": [image_id],
             "n_tiles": [len(pdf)],

@@ -249,12 +249,30 @@ def q_nation_revenue(spark, sf_dir):
                  F.round(F.sum("o_totalprice"), 2).alias("revenue")))
 
 
+def _ntz_epoch_us(col):
+    """Exact microseconds-since-epoch of a tz-naive timestamp, computed from
+    calendar fields only — no session-timezone dependence, so the query never
+    mutates (or even reads) the caller's session config. unix_date/hour/
+    minute are tz-free on NTZ; date_part('SECOND') keeps the µs fraction as
+    an exact DECIMAL(8,6)."""
+    secs = (F.unix_date(F.to_date(col)).cast("long") * 86400
+            + F.hour(col).cast("long") * 3600
+            + F.minute(col).cast("long") * 60)
+    frac_us = (F.date_part(F.lit("SECOND"), col) * 1000000).cast("long")
+    return secs * F.lit(1000000).cast("long") + frac_us
+
+
+def _ntz_epoch_long(col):
+    """Whole seconds since epoch (floor for the positive-epoch test data)."""
+    return (F.unix_date(F.to_date(col)).cast("long") * 86400
+            + F.hour(col).cast("long") * 3600
+            + F.minute(col).cast("long") * 60
+            + F.second(col).cast("long"))
+
+
 def q_events_by_type(spark, sf_dir):
-    # the NTZ→epoch cast chain depends on session tz; pin UTC so the result
-    # matches DuckDB's epoch() regardless of the caller's session settings
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     e = _tbl(spark, sf_dir, "events")
-    epoch = F.col("ts").cast("timestamp").cast("long")
+    epoch = _ntz_epoch_long(F.col("ts"))
     return (e.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.countDistinct("user_id").alias("n_users"),
@@ -266,9 +284,10 @@ def q_events_by_type(spark, sf_dir):
 def q_events_sessionize(spark, sf_dir):
     """Sessionization: per-user session segmentation on 30-min inactivity
     gaps (lag + running sum of gap flags), then per-session rollup."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")  # epoch outputs
     e = _tbl(spark, sf_dir, "events")
-    epoch = F.col("ts").cast("timestamp").cast("double")
+    # exact µs → one correctly-rounded division: bit-identical to DuckDB's
+    # epoch(ts) double, with zero session-timezone dependence
+    epoch = _ntz_epoch_us(F.col("ts")) / F.lit(1000000.0)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.when(
         F.lag(epoch).over(w).isNull()
@@ -279,7 +298,7 @@ def q_events_sessionize(spark, sf_dir):
     return (sess.groupBy("user_id", "session_id")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.round(F.sum("value"), 2).alias("sum_value"),
-                 F.min(F.col("ts").cast("timestamp").cast("long")).alias("first_epoch"))
+                 F.min(_ntz_epoch_long(F.col("ts"))).alias("first_epoch"))
             .withColumn("session_id", F.col("session_id").cast("long")))
 
 

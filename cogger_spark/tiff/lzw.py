@@ -50,8 +50,11 @@ def lzw_decode(data: bytes, max_out: int | None = None) -> bytes:
         else:
             if code < len(table):
                 entry = table[code]
-            else:  # KwKwK case
+            elif code == len(table):  # KwKwK case — only the next free code
                 entry = prev + prev[:1]
+            else:
+                raise ValueError(
+                    f"corrupt LZW stream: code {code} > table size {len(table)}")
             table.append(prev + entry[:1])
         out += entry
         prev = entry

@@ -100,3 +100,20 @@ def test_bucketed_join_has_no_exchange(spark, fixture_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
         spark.sql("DROP TABLE t_meta")
         spark.sql("DROP TABLE t_caps")
+
+
+def test_exact_dedup_exchange_key_is_digest_not_text(spark):
+    """The dedup shuffle must be keyed on md5(text), never on the raw text
+    column — at 100 TB the text IS the payload, so a text-keyed exchange
+    doubles the job (VERDICT r1). Also asserts map-side partial aggregation
+    (min_by partials collapse duplicates before the shuffle)."""
+    from cogger_spark.operators.dedup import exact_dedup
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(exact_dedup(docs))
+    assert "md5(" in plan, plan  # digest computed map-side
+    exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert exchanges, plan
+    for ln in exchanges:
+        key = ln.split("hashpartitioning(", 1)[1]
+        assert "text#" not in key, f"exchange keyed on raw text:\n{ln}"
+    assert plan.count("HashAggregate") >= 2, plan
