@@ -128,21 +128,23 @@ def main() -> None:
     cog_sec = timings["cog_pipeline"]
 
     # 2. the reference's own workload: TIFF→COG byte reshuffle, no pixel work.
-    #    Input = raw-tile (uncompressed) COGs of a subset, so the measurement
-    #    moves real byte volume (~1 GB) rather than deflate-shrunk blobs;
-    #    preparation is untimed and cached.
-    from cogger_spark.operators.tiling import rewrite_tiffs
-    rew_dir = str(bench_root / "tiffs_raw_parquet")
+    #    Input = raw-tile (uncompressed) COG FILES of the FULL bench table —
+    #    prepared untimed+cached through the bounded parts writer
+    #    (convert_images), so there is no subset cap: no task or writer ever
+    #    buffers a whole raw blob during preparation, and the measurement
+    #    reads .tif files exactly like the reference's own workload does.
+    from cogger_spark.operators.tiling import convert_images, rewrite_tiffs
+    rew_dir = bench_root / "tiffs_raw"
     with small_splits():
-        if not pathlib.Path(rew_dir, "_SUCCESS").exists():
-            # fixed-size subset: the rewrite measurement is MB/s, it does not
-            # need to scale with n_images — and raw COG blobs are tens of MB
-            # each, so an unbounded subset OOMs the parquet writer's buffers
-            subset = images.limit(96)
-            (cog_pipeline(subset, tile=512, compression="raw")
-             .select("image_id", F.col("cog").alias("bytes"))
-             .write.mode("overwrite").parquet(rew_dir))
-        tiffs = spark.read.parquet(rew_dir)
+        if not (rew_dir / "_done").exists():
+            convert_images(images, str(rew_dir), tile=512, compression="raw")
+            (rew_dir / "_done").touch()
+        tiffs = (spark.read.format("binaryFile")
+                 .load(str(rew_dir) + "/*.tif")
+                 .select(F.regexp_replace(
+                     F.element_at(F.split("path", "/"), -1),
+                     r"\.tif$", "").alias("image_id"),
+                     F.col("content").alias("bytes")))
         rew = timed("cog_rewrite", lambda: rewrite_tiffs(tiffs)
                     .agg({"in_bytes": "sum"}).collect()[0])
     rewrite_mb = int(rew["sum(in_bytes)"]) / 1e6

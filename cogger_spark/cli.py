@@ -41,6 +41,12 @@ def main(argv=None) -> int:
     c.add_argument("--buckets", type=int, default=64)
     c.add_argument("--ckpt", default=None)
     c.add_argument("--compression", default="deflate")
+    c.add_argument("--split-threshold-px", type=int, default=None,
+                   help="images above this pixel count take the bounded "
+                        "strip+parts path (default: 64 Mpx)")
+    c.add_argument("--files", action="store_true",
+                   help="write <out>/<image_id>.tif files directly "
+                        "(non-checkpointed) instead of parts parquet")
 
     m = sub.add_parser("manifest")
     m.add_argument("--images", required=True)
@@ -55,16 +61,29 @@ def main(argv=None) -> int:
     spark = _spark(args.cores)
 
     if args.cmd == "convert":
-        from cogger_spark.operators.tiling import cog_pipeline
-        from cogger_spark.plans.checkpoint import metrics_table, run_checkpointed
+        from cogger_spark.operators.tiling import (
+            SPLIT_THRESHOLD_PX, cog_pipeline_parts, convert_images)
         images = spark.read.parquet(args.images)
-        ckpt = args.ckpt or (args.out.rstrip("/") + "_ckpt")
-        recs = run_checkpointed(
-            spark, images, args.out, ckpt, n_buckets=args.buckets,
-            job=lambda df: cog_pipeline(df, tile=args.tile,
-                                        compression=args.compression))
-        metrics_table(spark, ckpt).show(truncate=False)
-        print(f"convert: {len(recs)} buckets processed this run")
+        thresh = args.split_threshold_px or SPLIT_THRESHOLD_PX
+        if args.files:
+            convert_images(images, args.out, tile=args.tile,
+                           compression=args.compression,
+                           split_threshold_px=thresh)
+            print(f"convert: wrote .tif files under {args.out}")
+        else:
+            # checkpointed parts parquet: every output row is a bounded COG
+            # part, so the writer's buffers stay small no matter how large
+            # any single image is; concatenate parts in part_idx order (or
+            # use write_cog_parts) to materialize files
+            from cogger_spark.plans.checkpoint import metrics_table, run_checkpointed
+            ckpt = args.ckpt or (args.out.rstrip("/") + "_ckpt")
+            recs = run_checkpointed(
+                spark, images, args.out, ckpt, n_buckets=args.buckets,
+                job=lambda df: cog_pipeline_parts(
+                    df, tile=args.tile, compression=args.compression,
+                    split_threshold_px=thresh))
+            metrics_table(spark, ckpt).show(truncate=False)
+            print(f"convert: {len(recs)} buckets processed this run")
     elif args.cmd == "manifest":
         from cogger_spark.operators.spatial import tile_manifest
         images = spark.read.parquet(args.images)

@@ -220,10 +220,13 @@ def tile_images_strips(images: DataFrame, tile: int = 512,
     max_levels stays as a hard cap."""
     import math
     dims = images.agg(F.max("w").alias("w"), F.max("h").alias("h")).first()
-    k_tile = max(0,
-                 math.ceil(math.log2(max(int(dims["w"]), 1) / tile)),
-                 math.ceil(math.log2(max(int(dims["h"]), 1) / tile)))
-    depth = min(max_levels, k_tile + 1)
+    if dims["w"] is None:  # empty input: one (empty) level-0 frame suffices
+        depth = 1
+    else:
+        k_tile = max(0,
+                     math.ceil(math.log2(max(int(dims["w"]), 1) / tile)),
+                     math.ceil(math.log2(max(int(dims["h"]), 1) / tile)))
+        depth = min(max_levels, k_tile + 1)
     level0 = strips_level0(images, tile=tile, target_px=target_px)
     # localCheckpoint would cut lineage on a real cluster run; at these sizes
     # the rebuilt lineage is cheaper than materialization.

@@ -264,11 +264,85 @@ def assemble_cogs(tiles: DataFrame, tile: int = 512,
     return tiles.groupBy("image_id").applyInPandas(kernel, schema=schema)
 
 
+# Images above this pixel count route to the strip pipeline: the direct path
+# holds one whole decoded image per kernel call (w*h*planes bytes), so at
+# 64 Mpx an RGB image is ~192 MB of task memory — past that, strips keep
+# every stage bounded by strip size, not image size (stripper.go:261-350 /
+# pcogger's reason to exist).
+SPLIT_THRESHOLD_PX = 64 * 1024 * 1024
+
+
+def _tiles_routed(images: DataFrame, tile: int, compression: str,
+                  split_threshold_px: int, target_px: int) -> DataFrame:
+    """Size-routed tile stage: images at or below the threshold take the
+    direct whole-image decode (one narrow stage); oversized images take the
+    strip pipeline (bounded task memory). Both produce byte-identical tiles
+    (asserted in tests), so the union is transparent to assembly.
+
+    The routing probe is two limit(1) scans over (w, h) only — no pixel
+    bytes — so deciding the shape costs two sub-second metadata jobs even on
+    a petabyte table."""
+    from .strips import tile_images_strips
+
+    px = F.col("w").cast("long") * F.col("h")
+    small = images.filter(px <= split_threshold_px)
+    big = images.filter(px > split_threshold_px)
+    has_small = small.select("w").limit(1).count() > 0
+    has_big = big.select("w").limit(1).count() > 0
+    frames = []
+    if has_small or not has_big:
+        frames.append(tile_images(small, tile=tile, compression=compression))
+    if has_big:
+        frames.append(tile_images_strips(big, tile=tile, compression=compression,
+                                         target_px=target_px))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def cog_pipeline(images: DataFrame, tile: int = 512,
-                 compression: str = "deflate", ghost: bool = True) -> DataFrame:
-    """images → COG blobs, end-to-end (the flagship dataflow)."""
-    return assemble_cogs(tile_images(images, tile=tile, compression=compression),
-                         tile=tile, compression=compression, ghost=ghost)
+                 compression: str = "deflate", ghost: bool = True,
+                 split_threshold_px: int = SPLIT_THRESHOLD_PX,
+                 target_px: int = 1024 * 1024) -> DataFrame:
+    """images → COG blobs, end-to-end (the flagship dataflow).
+
+    The tile stage auto-routes oversized images to the strip pipeline, but
+    the OUTPUT is still one blob row per image — unbounded for gigapixel
+    inputs. Sinks should prefer cog_pipeline_parts/convert_images, which
+    keep the assembly bounded too."""
+    tiles = _tiles_routed(images, tile, compression, split_threshold_px, target_px)
+    return assemble_cogs(tiles, tile=tile, compression=compression, ghost=ghost)
+
+
+def cog_pipeline_parts(images: DataFrame, tile: int = 512,
+                       compression: str = "deflate", ghost: bool = True,
+                       split_threshold_px: int = SPLIT_THRESHOLD_PX,
+                       target_px: int = 1024 * 1024,
+                       tiles_per_part: int = 256) -> DataFrame:
+    """images → ordered COG parts with bounded memory end-to-end: the
+    size-routed tile stage feeds the streaming parts assembly (header from
+    metadata only; ghost-framed data chunks of <= tiles_per_part tiles).
+    Concatenating an image's parts in part_idx order is byte-identical to
+    the assemble_cogs blob (tested) — this is the sink-safe default for any
+    table that may contain oversized images."""
+    tiles = _tiles_routed(images, tile, compression, split_threshold_px, target_px)
+    return assemble_cog_parts(tiles, tile=tile, compression=compression,
+                              ghost=ghost, tiles_per_part=tiles_per_part)
+
+
+def convert_images(images: DataFrame, out_dir: str, tile: int = 512,
+                   compression: str = "deflate", ghost: bool = True,
+                   split_threshold_px: int = SPLIT_THRESHOLD_PX,
+                   target_px: int = 1024 * 1024,
+                   tiles_per_part: int = 256) -> None:
+    """The user-facing convert sink: images → <out_dir>/<image_id>.tif, one
+    COG per image, auto-routed by size, constant memory per task and per
+    output file regardless of image size."""
+    parts = cog_pipeline_parts(images, tile=tile, compression=compression,
+                               ghost=ghost, split_threshold_px=split_threshold_px,
+                               target_px=target_px, tiles_per_part=tiles_per_part)
+    write_cog_parts(parts, out_dir)
 
 
 def write_cogs(cogs: DataFrame, out_dir: str) -> None:

@@ -168,8 +168,10 @@ def test_cli_convert_checkpointed(spark, smoke_images, tmp_path):
                    "--buckets", "4", "--ckpt", ck])
     assert rc == 0
     got = spark.read.parquet(out + "/bucket=*")
-    assert got.count() == 50
+    # parts output: every image has a header part 0 plus >=1 data chunk
     assert got.select("image_id").distinct().count() == 50
+    assert got.filter("part_idx = 0").count() == 50
+    assert got.count() >= 100
     # second run: nothing left to do
     from cogger_spark.plans.checkpoint import remaining_buckets
     assert remaining_buckets(4, ck) == []

@@ -110,3 +110,61 @@ def test_write_cog_parts_files(spark, big_images, tmp_path):
         data = f.read_bytes()
         assert data == whole[f.stem]
         assert parse_tiff(data).ifds
+
+
+def test_cog_pipeline_routing_transparent(spark, big_images):
+    """cog_pipeline with a threshold that splits the table (1024²/700² above,
+    513²/1 below) must produce blobs byte-identical to the all-direct path —
+    the size routing is invisible in the output."""
+    direct = {r.image_id: bytes(r.cog)
+              for r in assemble_cogs(tile_images(big_images, tile=TILE),
+                                     tile=TILE).collect()}
+    auto = {r.image_id: bytes(r.cog)
+            for r in cog_pipeline(big_images, tile=TILE,
+                                  split_threshold_px=600 * 600,
+                                  target_px=TARGET).collect()}
+    assert auto == direct
+
+
+def test_convert_images_autoroutes_mixed_table(spark, big_images, tmp_path):
+    """convert_images end-to-end: mixed small/oversized table → .tif files,
+    each byte-identical to the whole-blob direct assembly."""
+    import pathlib
+    from cogger_spark.operators.tiling import convert_images
+    out = tmp_path / "auto_out"
+    convert_images(big_images, str(out), tile=TILE,
+                   split_threshold_px=600 * 600, target_px=TARGET,
+                   tiles_per_part=7)
+    whole = {r.image_id: bytes(r.cog)
+             for r in assemble_cogs(tile_images(big_images, tile=TILE),
+                                    tile=TILE).collect()}
+    files = {f.stem: f.read_bytes() for f in pathlib.Path(out).glob("*.tif")}
+    assert files == whole
+
+
+@pytest.mark.slow
+def test_oversized_e2e_bounded_parts(spark):
+    """The oversized e2e: a 32-MPix image through cog_pipeline_parts above
+    the routing threshold — strips bound the pixel stages, parts bound the
+    assembly, and the ordered concat equals the direct whole blob exactly.
+    No task ever holds the whole image: the largest emitted row is checked
+    against the tiles_per_part bound."""
+    import zlib
+    from cogger_spark.fixtures import make_pixels
+    from cogger_spark.operators.tiling import cog_pipeline_parts
+    W, H, TPP = 8192, 4096, 16
+    px = make_pixels(0, W, H, 1, False)
+    df = spark.createDataFrame(
+        [("img_00000000", zlib.compress(px.tobytes(), 1), W, H, "deflate")],
+        "image_id string, bytes binary, w int, h int, fmt string")
+    parts = cog_pipeline_parts(df, tile=512, split_threshold_px=10**6,
+                               target_px=4 * 1024 * 1024,
+                               tiles_per_part=TPP).collect()
+    blob = b"".join(bytes(r.part) for r in sorted(parts, key=lambda r: r.part_idx))
+    whole = assemble_cogs(tile_images(df, tile=512), tile=512).collect()[0]
+    assert blob == bytes(whole.cog)
+    # bound: a data part holds <= TPP ghost-framed single-band 512² tiles
+    data_bound = TPP * (512 * 512 * 1 + 8)
+    for r in parts:
+        if r.part_idx > 0:
+            assert len(bytes(r.part)) <= data_bound
