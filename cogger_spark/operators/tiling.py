@@ -365,31 +365,51 @@ def write_cogs(cogs: DataFrame, out_dir: str) -> None:
 
 REWRITE_SCHEMA = "image_id string, cog binary, in_bytes long, out_bytes long"
 
+SPLIT_REWRITE_SCHEMA = ("image_id string, header binary, data binary, "
+                        "in_bytes long, out_bytes long")
 
-def rewrite_tiffs(tiffs: DataFrame, ghost: bool = True) -> DataFrame:
+
+def rewrite_tiffs(tiffs: DataFrame, ghost: bool = True,
+                  split: bool = False) -> DataFrame:
     """The reference's own job as a Spark operator: reshuffle already-tiled
     TIFF bytes into COG layout — parse, assemble the IFD tree, re-emit — with
     NO pixel decoding (README.md:5-14, loader.go:59-106). One narrow
     mapInPandas stage; per-row cost is pure byte movement, matching the
-    reference's 'as fast as the underlying i/o' model."""
-    from ..tiff.codec import Config, rewrite
+    reference's 'as fast as the underlying i/o' model.
+
+    split=True emits header and tile data as separate binary columns — the
+    RewriteSplitted surface (loader.go:67, cog.go:765-780) for sinks that
+    route metadata and payload bytes to different destinations;
+    header || data equals the split=False blob byte-for-byte (tested)."""
+    from ..tiff.codec import Config, rewrite, rewrite_split
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cfg = Config(with_gdal_ghost=ghost)
         for pdf in batches:
-            out = {"image_id": [], "cog": [], "in_bytes": [], "out_bytes": []}
+            out = {"image_id": [], "in_bytes": [], "out_bytes": []}
+            if split:
+                out["header"], out["data"] = [], []
+            else:
+                out["cog"] = []
             for r in pdf.itertuples(index=False):
-                cog = rewrite(r.bytes, cfg=cfg)
+                if split:
+                    header, data = rewrite_split(r.bytes, cfg=cfg)
+                    out["header"].append(header)
+                    out["data"].append(data)
+                    out["out_bytes"].append(len(header) + len(data))
+                else:
+                    cog = rewrite(r.bytes, cfg=cfg)
+                    out["cog"].append(cog)
+                    out["out_bytes"].append(len(cog))
                 out["image_id"].append(r.image_id)
-                out["cog"].append(cog)
                 out["in_bytes"].append(len(r.bytes))
-                out["out_bytes"].append(len(cog))
             yield pd.DataFrame(out)
 
     sc = tiffs.sparkSession.sparkContext
     if tiffs.rdd.getNumPartitions() < sc.defaultParallelism:
         tiffs = tiffs.repartition(sc.defaultParallelism * 2)
-    return tiffs.select("image_id", "bytes").mapInPandas(kernel, REWRITE_SCHEMA)
+    schema = SPLIT_REWRITE_SCHEMA if split else REWRITE_SCHEMA
+    return tiffs.select("image_id", "bytes").mapInPandas(kernel, schema)
 
 
 

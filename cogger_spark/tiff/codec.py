@@ -848,8 +848,9 @@ def rewrite_ifd_tree(main: IFD, cfg: Optional[Config] = None) -> bytes:
     return bytes(out)
 
 
-def rewrite(*sources: bytes, cfg: Optional[Config] = None) -> bytes:
-    """cogger.Rewrite (loader.go:59-106): parse N TIFFs, assemble, re-emit COG."""
+def _assemble_sources(*sources: bytes) -> IFD:
+    """Parse N TIFFs (main + external overview files) into one IFD tree
+    (loader.go:63-106)."""
     if not sources:
         raise ValueError("missing readers")
     order = None
@@ -864,5 +865,19 @@ def rewrite(*sources: bytes, cfg: Optional[Config] = None) -> bytes:
             if not ifd.tile_byte_counts or len(ifd.tile_byte_counts) != len(ifd.tile_offsets):
                 raise ValueError("ifd is not tiled")
             flat.append(ifd)
-    main = assemble_ifd_tree(flat)
-    return rewrite_ifd_tree(main, cfg)
+    return assemble_ifd_tree(flat)
+
+
+def rewrite(*sources: bytes, cfg: Optional[Config] = None) -> bytes:
+    """cogger.Rewrite (loader.go:59-106): parse N TIFFs, assemble, re-emit COG."""
+    return rewrite_ifd_tree(_assemble_sources(*sources), cfg)
+
+
+def rewrite_split(*sources: bytes,
+                  cfg: Optional[Config] = None) -> tuple[bytes, bytes]:
+    """RewriteSplitted / RewriteIFDTreeSplitted (loader.go:67,
+    cog.go:765-780): header and tile data emitted as separate buffers so a
+    sink can route metadata and payload bytes to different destinations;
+    header + data concatenated equals rewrite() byte-for-byte."""
+    w = _Writer(_assemble_sources(*sources), cfg or Config())
+    return w.header(), b"".join(w.tile_data())
