@@ -41,15 +41,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _q_cog_assembly_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full COG pipeline (decode → pyramid → tiles → per-image blobs) over
-    the committed image fixtures; binary assembly is not SQL-expressible so
-    this entry is rows-only checked (pixel/order/offset exactness is pinned
-    by the pytest suite instead)."""
+    the committed image fixtures, reconciled against the closed-form manifest
+    oracle: the ASSEMBLED outputs' tile/level counts must equal the SQL
+    expectation (A3/A4). Byte-level exactness of the blobs themselves is
+    pinned by the golden-fixture pytest suite (not SQL-expressible)."""
     from cogger_spark.fixtures import FIXTURE_DIR, ensure_test_fixtures
     from cogger_spark.operators.tiling import cog_pipeline
     ensure_test_fixtures()
     images = spark.read.parquet(str(FIXTURE_DIR / "images_test.parquet"))
     cogs = cog_pipeline(images, tile=512)
-    return cogs.select("image_id", "n_tiles", "n_levels", "total_bytes")
+    return cogs.select("image_id", F.col("n_tiles").cast("long").alias("n_tiles"),
+                       F.col("n_levels").cast("long").alias("n_levels"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -91,7 +93,16 @@ def oracle_sql() -> dict[str, str]:
         "events_by_type": o.EVENTS_BY_TYPE,
         "events_sessionize": o.EVENTS_SESSIONIZE,
         "events_value_median": o.EVENTS_VALUE_MEDIAN,
-        # no oracle (non-SQL-expressible): minhash_lsh_dedup, simhash_pairs,
-        # ann_lsh_topk (LSH bucket hashing), cog_assembly_summary (binary
-        # TIFF assembly) — rows-only checks.
+        # LSH paths, checked against exact closures: the minhash oracle is
+        # the unblocked all-pairs Jaccard >= t (recall AND precision == 1);
+        # the simhash oracle recomputes signatures in SQL (md5-based token
+        # hash) and takes the full hamming<=3 closure (pigeonhole blocking
+        # is lossless at this distance)
+        "minhash_lsh_dedup": o.MINHASH_LSH_DEDUP,
+        "simhash_pairs": o.SIMHASH_PAIRS,
+        # assembled COG tile/level counts vs the closed-form manifest
+        "cog_assembly_summary": o.COG_ASSEMBLY_SUMMARY,
+        # no oracle (genuinely approximate, quantizer/hyperplane state not
+        # SQL-expressible): ann_lsh_topk, ann_ivf_topk — rows-only checks;
+        # recall vs the exact baseline is asserted in pytest instead.
     }

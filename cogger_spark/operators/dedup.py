@@ -184,6 +184,21 @@ def minhash_lsh_dedup(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _tok_hash64(tok: str, _cache: dict = {}) -> int:
+    """64-bit token hash = little-endian lower half of md5 — the exact value
+    DuckDB's md5_number_lower() computes, so the SIMHASH_PAIRS oracle can
+    recompute signatures in pure SQL. The small-vocabulary corpus makes the
+    per-worker cache hit rate ~100%."""
+    h = _cache.get(tok)
+    if h is None:
+        import hashlib
+        import struct
+        h = struct.unpack("<Q", hashlib.md5(tok.encode()).digest()[8:])[0]
+        if len(_cache) < 1_000_000:  # bound worker memory
+            _cache[tok] = h
+    return h
+
+
 def simhash_udf():
     @F.pandas_udf(LongType())
     def _sim(text: pd.Series) -> pd.Series:
@@ -192,8 +207,7 @@ def simhash_udf():
             toks = t.split(" ")
             if not toks:
                 continue
-            hs = np.array([zlib.crc32(tok.encode()) * 0x9E3779B97F4A7C15 % (1 << 64)
-                           for tok in toks], dtype=np.uint64)
+            hs = np.array([_tok_hash64(tok) for tok in toks], dtype=np.uint64)
             bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
                     & np.uint64(1)).astype(np.int32)
             vote = (2 * bits - 1).sum(axis=0)

@@ -276,6 +276,88 @@ SELECT doc_a, doc_b, lang, jaccard FROM (
 ) WHERE jaccard >= 0.5
 """
 
+# MinHash+LSH dedup oracle: the UNBLOCKED exact all-pairs trigram Jaccard at
+# the same threshold. The engine's LSH path verifies every candidate with the
+# exact Jaccard predicate (precision 1 by construction), and at this
+# threshold every qualifying pair shares >=1 of the 16 deterministic bands
+# (recall 1 on the corpus — near-dups sit at j>=0.9 where the 16x4 band
+# scheme is lossless in practice). Equality against the exact closure is the
+# strongest possible check: it asserts recall AND precision == 1.
+MINHASH_LSH_DEDUP = """
+WITH d AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      generate_series(1, len(string_split(text, ' ')) - 2),
+      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+           || ' ' || string_split(text, ' ')[i+2])) AS s
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    ROUND(len(list_filter(a.s, x -> list_contains(b.s, x)))
+      / ((len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) * 1.0),
+      9) AS jaccard
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+) WHERE jaccard >= 0.5
+"""
+
+# SimHash oracle: recompute the 64-bit signatures in pure SQL (token hash =
+# md5_number_lower, mirrored exactly by operators/dedup._tok_hash64) and take
+# ALL pairs at hamming <= 3. The engine's 16-bit-chunk pigeonhole blocking is
+# provably lossless at this distance (3 differing bits over 4 chunks leave
+# one chunk identical), so the blocked output equals the full closure.
+SIMHASH_PAIRS = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+h AS (
+  SELECT doc_id, md5_number_lower(tok) AS hv FROM toks
+),
+bitvotes AS (
+  SELECT doc_id, b,
+    SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bits
+  GROUP BY doc_id, b
+),
+sig AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS UBIGINT) << b)
+             ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS simhash
+  FROM bitvotes GROUP BY doc_id
+)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+) WHERE hamming <= 3
+"""
+
+# COG assembly reconciliation (A3/A4): the assembled outputs' tile and level
+# counts must equal the closed-form manifest expectation, with the mask
+# plane doubling tiles for images the fixture convention marks as masked
+# (n_bands/has_mask are deterministic functions of img_idx — fixtures.py).
+COG_ASSEMBLY_SUMMARY = f"""
+WITH {_MANIFEST_CTE},
+planes AS (
+  SELECT image_id,
+    CASE WHEN (img_idx % 5 = 0) AND (img_idx % 3 != 1) THEN 2 ELSE 1 END AS plane_mult
+  FROM img
+),
+per_level AS (
+  SELECT m.image_id, m.n_levels, m.ntx * m.nty AS tiles, p.plane_mult
+  FROM (SELECT DISTINCT image_id, level, ntx, nty,
+               MAX(level) OVER (PARTITION BY image_id) + 1 AS n_levels
+        FROM manifest) m
+  JOIN planes p ON m.image_id = p.image_id
+)
+SELECT image_id,
+  CAST(SUM(tiles * plane_mult) AS BIGINT) AS n_tiles,
+  CAST(MAX(n_levels) AS BIGINT) AS n_levels
+FROM per_level
+GROUP BY image_id
+"""
+
 _COS = ("list_dot_product(a.emb, b.emb) / "
         "(SQRT(list_dot_product(a.emb, a.emb)) * SQRT(list_dot_product(b.emb, b.emb)))")
 

@@ -44,6 +44,8 @@ ORACLE_CASES = [
     ("doc_fingerprint", "DOC_FINGERPRINT"),
     ("exact_dedup_docs", "EXACT_DEDUP_DOCS"),
     ("ngram_jaccard_pairs", "NGRAM_JACCARD_PAIRS"),
+    ("minhash_lsh_dedup", "MINHASH_LSH_DEDUP"),
+    ("simhash_pairs", "SIMHASH_PAIRS"),
     ("dup_clusters", "DUP_CLUSTERS"),
     ("embed_neardup", "EMBED_NEARDUP"),
     ("ann_cosine_topk", "ANN_COSINE_TOPK"),
@@ -117,3 +119,12 @@ def test_ann_ivf_recall_vs_brute_force(spark):
     mean_recall = sum(recalls) / len(recalls)
     # nprobe=4 of 16 lists scans ~25% of the corpus → solid recall expected
     assert mean_recall >= 0.4, f"IVF recall {mean_recall:.2f}"
+
+
+def test_cog_assembly_summary_matches_manifest_oracle(spark, duck):
+    """The assembled pipeline's tile/level counts reconcile against the
+    closed-form manifest expectation (A3/A4) — the fixture-backed oracle
+    reads the same committed parquet via absolute paths."""
+    import __spark_entry__ as entrymod
+    q = entrymod.queries()["cog_assembly_summary"](spark, SF_DIR)
+    compare(duck, q, oracles.COG_ASSEMBLY_SUMMARY)
