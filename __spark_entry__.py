@@ -72,6 +72,7 @@ def oracle_sql() -> dict[str, str]:
         # spatial joins
         "pip_join": o.PIP_JOIN,
         "knn_join": o.KNN_JOIN,
+        "knn_adaptive": o.KNN_ADAPTIVE,
         "zonal_stats": o.ZONAL_STATS,
         "phash_canonical": o.PHASH_CANONICAL,
         "dedup_images": o.DEDUP_IMAGES,

@@ -200,6 +200,55 @@ def knn_join(points: DataFrame, tiles: DataFrame, k: int = 5,
             .select("point_id", "image_id", "level", "ty", "tx", "dist2", "rank"))
 
 
+def knn_join_adaptive(points: DataFrame, tiles: DataFrame, k: int = 5,
+                      rings: tuple[int, ...] = (2, 4, 8),
+                      res: int = DEFAULT_RES) -> DataFrame:
+    """True-kNN variant of J6: ring-ladder expansion. Each point's candidate
+    neighborhood starts at rings[0]; points that find >= k candidate tiles
+    resolve there, the rest escalate to the next rung — so under-dense
+    regions still return k rows (up to the final rung) while the common case
+    never pays the wide explode (ring r is (2r+1)² cells per point).
+
+    The whole ladder is one lazy DAG (the per-rung 'remaining' set is an
+    anti-join, no driver actions), len(rings) equi-joins total, and each rung
+    only re-joins the points the previous rung could not satisfy — at scale
+    the escalation population shrinks geometrically. Deterministic semantics
+    (chosen rung = first with >= k distinct candidate tiles; top-k by squared
+    center distance with (image_id, ty, tx) tiebreak) are exactly mirrored by
+    the KNN_ADAPTIVE SQL oracle. Output adds the chosen `ring` per point."""
+    tc = with_tile_cells(tiles, res).withColumnRenamed("cell_id", "ring_cell")
+    out = None
+    remaining = points
+    for i, r in enumerate(rings):
+        last = i == len(rings) - 1
+        pc = remaining.withColumn(
+            "ring_cell", F.explode(ring_cells_udf(res, r)("lon", "lat")))
+        cand = (pc.join(tc, "ring_cell")
+                .select("point_id", "lon", "lat", "image_id", "level", "ty",
+                        "tx", "lon_min", "lat_min", "lon_max", "lat_max")
+                .distinct())
+        counts = cand.groupBy("point_id").agg(F.count(F.lit(1)).alias("_n"))
+        resolved_ids = (counts if last else counts.filter(F.col("_n") >= k)) \
+            .select("point_id")
+        cx = (F.col("lon_min") + F.col("lon_max")) / 2.0
+        cy = (F.col("lat_min") + F.col("lat_max")) / 2.0
+        d2 = (F.col("lon") - cx) * (F.col("lon") - cx) \
+            + (F.col("lat") - cy) * (F.col("lat") - cy)
+        w = Window.partitionBy("point_id").orderBy(
+            F.col("dist2").asc(), F.col("image_id").asc(), F.col("ty").asc(),
+            F.col("tx").asc())
+        ranked = (cand.join(resolved_ids, "point_id")
+                  .withColumn("dist2", d2)
+                  .withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("point_id", "image_id", "level", "ty", "tx",
+                          "dist2", "rank", F.lit(r).alias("ring")))
+        out = ranked if out is None else out.unionByName(ranked)
+        if not last:
+            remaining = remaining.join(resolved_ids, "point_id", "left_anti")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # J7 — raster↔vector zonal join + stats
 # ---------------------------------------------------------------------------

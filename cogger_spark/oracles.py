@@ -165,6 +165,59 @@ SELECT point_id, image_id, CAST(level AS BIGINT) AS level, CAST(ty AS BIGINT) AS
 FROM ranked WHERE rank <= 5
 """
 
+# adaptive (true-)kNN: ring ladder 2 -> 4 -> 8. ring_needed is the Chebyshev
+# grid distance from the point cell to the tile's (clamped, inclusive) cell
+# range — a tile is a rung-r candidate iff ring_needed <= r. The chosen rung
+# is the first with >= k candidates (else the final rung); top-k among the
+# chosen rung's candidates, same distance + tiebreak as KNN_JOIN.
+KNN_ADAPTIVE = f"""
+WITH {_MANIFEST_CTE},
+t0 AS (
+  SELECT *,
+    LEAST(GREATEST(CAST(FLOOR((lon_min + 180.0) / 360.0 * 1024) AS BIGINT), 0), 1023) AS x0,
+    LEAST(GREATEST(CAST(FLOOR((lon_max + 180.0) / 360.0 * 1024) AS BIGINT), 0), 1023) AS x1,
+    LEAST(GREATEST(CAST(FLOOR((lat_min + 90.0) / 180.0 * 1024) AS BIGINT), 0), 1023) AS y0,
+    LEAST(GREATEST(CAST(FLOOR((lat_max + 90.0) / 180.0 * 1024) AS BIGINT), 0), 1023) AS y1
+  FROM manifest WHERE level = 0
+),
+pts AS (
+  SELECT *,
+    LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 360.0 * 1024) AS BIGINT), 0), 1023) AS px,
+    LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / 180.0 * 1024) AS BIGINT), 0), 1023) AS py
+  FROM {POINTS}
+),
+need AS (
+  SELECT p.point_id, t.image_id, t.level, t.ty, t.tx,
+    GREATEST(
+      CASE WHEN p.px < t.x0 THEN t.x0 - p.px
+           WHEN p.px > t.x1 THEN p.px - t.x1 ELSE 0 END,
+      CASE WHEN p.py < t.y0 THEN t.y0 - p.py
+           WHEN p.py > t.y1 THEN p.py - t.y1 ELSE 0 END) AS ring_needed,
+    (p.lon - (t.lon_min + t.lon_max) / 2.0) * (p.lon - (t.lon_min + t.lon_max) / 2.0)
+    + (p.lat - (t.lat_min + t.lat_max) / 2.0) * (p.lat - (t.lat_min + t.lat_max) / 2.0)
+      AS dist2
+  FROM pts p CROSS JOIN t0 t
+),
+chosen AS (
+  SELECT point_id,
+    CASE WHEN COUNT(*) FILTER (ring_needed <= 2) >= 2 THEN 2
+         WHEN COUNT(*) FILTER (ring_needed <= 4) >= 2 THEN 4
+         ELSE 8 END AS ring
+  FROM need WHERE ring_needed <= 8 GROUP BY point_id
+),
+ranked AS (
+  SELECT n.*, c.ring, ROW_NUMBER() OVER
+    (PARTITION BY n.point_id ORDER BY n.dist2, n.image_id, n.ty, n.tx) AS rank
+  FROM need n JOIN chosen c ON n.point_id = c.point_id
+  WHERE n.ring_needed <= c.ring
+)
+SELECT point_id, image_id, CAST(level AS BIGINT) AS level,
+       CAST(ty AS BIGINT) AS ty, CAST(tx AS BIGINT) AS tx,
+       ROUND(dist2, 12) AS dist2, CAST(rank AS BIGINT) AS rank,
+       CAST(ring AS BIGINT) AS ring
+FROM ranked WHERE rank <= 2
+"""
+
 ZONAL_STATS = f"""
 WITH {_MANIFEST_CTE}
 SELECT z.zone_id,

@@ -74,6 +74,18 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _longs(out, "level", "ty", "tx", "rank")
 
 
+def q_knn_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True-kNN via the 2→4→8 ring ladder: under-dense points escalate
+    until they find k candidates. k=2 makes the fixture data exercise every
+    rung (203 points resolve at ring 2, 13 at ring 4, 749 escalate to 8 —
+    most fixture points hold <k tiles in their 2-ring, the exact gap the
+    bounded-radius knn_join leaves open)."""
+    tiles = spatial.tile_manifest(_images(spark), tile=512, level=0)
+    out = spatial.knn_join_adaptive(_points(spark), tiles, k=2, rings=(2, 4, 8))
+    out = out.withColumn("dist2", F.round("dist2", 12))
+    return _longs(out, "level", "ty", "tx", "rank", "ring")
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles = spatial.tile_manifest(_images(spark), tile=512, level=0)
     return spatial.zonal_stats(_zones(spark), tiles)
@@ -109,6 +121,7 @@ SPATIAL_QUERIES = {
     "tile_offsets_raw": q_tile_offsets_raw,
     "pip_join": q_pip_join,
     "knn_join": q_knn_join,
+    "knn_adaptive": q_knn_adaptive,
     "zonal_stats": q_zonal_stats,
     "phash_canonical": q_phash_canonical,
     "dedup_images": q_dedup_images,

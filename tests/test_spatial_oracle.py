@@ -38,6 +38,7 @@ CASES = [
     ("tile_manifest", oracles.TILE_MANIFEST),
     ("pip_join", oracles.PIP_JOIN),
     ("knn_join", oracles.KNN_JOIN),
+    ("knn_adaptive", oracles.KNN_ADAPTIVE),
     ("zonal_stats", oracles.ZONAL_STATS),
     ("phash_canonical", oracles.PHASH_CANONICAL),
     ("point_grid_counts", oracles.POINT_GRID_COUNTS),
