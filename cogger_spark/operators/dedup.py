@@ -249,41 +249,81 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def cluster_duplicates(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
-    """Connected components over (doc_a, doc_b) near-dup edges by iterative
-    min-label propagation: every node's label converges to the smallest
-    doc_id in its component (the canonical document).
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al. 2014, 'Connected Components in
+    MapReduce and Beyond'): every node attaches its LARGER neighbors to the
+    minimum of its neighborhood (incl. itself). Input/output edges are
+    oriented (u > v)."""
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (sym.groupBy("u").agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", "u").alias("m")))
+    return (sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct())
 
-    Each iteration is one join + aggregate; convergence is detected with a
-    changed-labels count, so the number of Spark jobs is O(graph diameter) —
-    near-dup clusters are shallow (stars/chains), so 3-5 iterations typically
-    suffice. Returns (doc_id, canonical_id) for every node in any pair."""
-    edges = (pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-             .unionByName(pairs.select(F.col("doc_b").alias("a"),
-                                       F.col("doc_a").alias("b")))
-             .distinct())
-    labels = (edges.select(F.col("a").alias("node"))
-              .distinct()
-              .withColumn("label", F.col("node")))
-    labels = labels.localCheckpoint()
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: every node rewires its SMALLER neighbors (and
+    itself) to the minimum of that set. Input/output edges oriented (u > v)."""
+    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+    nbr = (edges.join(mins, "u")
+           .select(F.col("v").alias("u"), F.col("m").alias("v")))
+    self_edge = mins.select(F.col("u"), F.col("m").alias("v"))
+    return (nbr.unionByName(self_edge)
+            .filter(F.col("u") != F.col("v"))
+            .distinct())
+
+
+def connected_components(pairs: DataFrame, max_iters: int = 30
+                         ) -> tuple[DataFrame, int]:
+    """Connected components over (doc_a, doc_b) edges by ALTERNATING
+    large-star/small-star — pure DataFrame ops, provably O(log n) rounds
+    (vs O(diameter) for naive label propagation), so a pathological chain of
+    near-dups converges in logarithmically many Spark jobs.
+
+    Each round is two groupBy+join passes plus one fixed-point check (edge
+    set unchanged — an exceptAll action); lineage is cut per round with
+    localCheckpoint. At the fixed point the edge set is a star forest: every
+    node points at its component minimum. Raises RuntimeError if max_iters
+    rounds do not converge (never silently returns wrong labels).
+
+    Returns (labels, rounds): labels = (doc_id, canonical_id) for every node
+    in any pair."""
+    edges = (pairs.select(
+        F.greatest("doc_a", "doc_b").alias("u"),
+        F.least("doc_a", "doc_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint())
+    rounds = 0
     for _ in range(max_iters):
-        neighbor_min = (edges.join(labels, edges["b"] == labels["node"])
-                        .groupBy("a").agg(F.min("label").alias("nbr_label")))
-        updated = (labels.join(neighbor_min, labels["node"] == neighbor_min["a"],
-                               "left")
-                   .select(labels["node"],
-                           F.least(labels["label"],
-                                   F.coalesce("nbr_label", labels["label"]))
-                           .alias("label")))
-        updated = updated.localCheckpoint()  # cut lineage per iteration
-        changed = (updated.alias("u")
-                   .join(labels.alias("l"), "node")
-                   .filter(F.col("u.label") != F.col("l.label")).count())
-        labels = updated
-        if changed == 0:
+        nxt = _small_star(_large_star(edges)).localCheckpoint()
+        rounds += 1
+        changed = (nxt.exceptAll(edges).unionByName(edges.exceptAll(nxt))
+                   .isEmpty() is False)
+        edges = nxt
+        if not changed:
             break
-    return labels.select(F.col("node").alias("doc_id"),
-                         F.col("label").alias("canonical_id"))
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds")
+    nodes = (pairs.select(F.col("doc_a").alias("doc_id"))
+             .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+             .distinct())
+    labels = (nodes.join(edges, nodes["doc_id"] == edges["u"], "left")
+              .select("doc_id",
+                      F.coalesce("v", "doc_id").alias("canonical_id")))
+    return labels, rounds
+
+
+def cluster_duplicates(pairs: DataFrame, max_iters: int = 30) -> DataFrame:
+    """Connected components over near-dup edges: every node's canonical_id is
+    the smallest doc_id in its component. See connected_components."""
+    labels, _ = connected_components(pairs, max_iters=max_iters)
+    return labels
 
 
 def dedup_clusters(docs: DataFrame, threshold: float = 0.5) -> DataFrame:

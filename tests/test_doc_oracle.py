@@ -128,3 +128,31 @@ def test_cog_assembly_summary_matches_manifest_oracle(spark, duck):
     import __spark_entry__ as entrymod
     q = entrymod.queries()["cog_assembly_summary"](spark, SF_DIR)
     compare(duck, q, oracles.COG_ASSEMBLY_SUMMARY)
+
+
+def test_connected_components_log_rounds(spark):
+    """Alternating large-star/small-star must converge in O(log n) rounds:
+    a 64-node path (diameter 63) converges within ceil(log2(63)) + 2 = 8
+    rounds, where naive min-label propagation would need ~63."""
+    from cogger_spark.operators.dedup import connected_components
+    import math
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long")
+    labels, rounds = connected_components(pairs)
+    got = {r.doc_id: r.canonical_id for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert rounds <= math.ceil(math.log2(n - 1)) + 2, rounds
+
+
+def test_connected_components_mixed_graph(spark):
+    """Stars, a triangle, and an isolated edge — labels = component minima."""
+    from cogger_spark.operators.dedup import connected_components
+    edges = [(1, 2), (2, 3), (3, 1),        # triangle
+             (10, 11), (10, 12), (10, 13),  # star
+             (20, 21)]                      # pair
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    labels, rounds = connected_components(pairs)
+    got = {r.doc_id: r.canonical_id for r in labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10,
+                   20: 20, 21: 20}
