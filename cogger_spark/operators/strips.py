@@ -64,11 +64,15 @@ def strips_level0(images: DataFrame, tile: int = 512,
     if images.rdd.getNumPartitions() < sc.defaultParallelism:
         images = images.repartition(sc.defaultParallelism * 2)
 
+    FLUSH_BYTES = 32 * 1024 * 1024  # output-accumulation bound per yield
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("image_id", "level", "strip_id", "top_row", "strip_h",
+                "level_w", "level_h", "n_levels", "planes", "has_mask",
+                "payload")
+        out = {k: [] for k in cols}
+        acc = 0
         for pdf in batches:
-            out = {k: [] for k in ("image_id", "level", "strip_id", "top_row",
-                                   "strip_h", "level_w", "level_h", "n_levels",
-                                   "planes", "has_mask", "payload")}
             for r in pdf.itertuples(index=False):
                 w, h = int(r.w), int(r.h)
                 buf = zlib.decompress(r.bytes) if r.fmt == "deflate" else r.bytes
@@ -76,6 +80,7 @@ def strips_level0(images: DataFrame, tile: int = 512,
                 px = decode_image(buf, w, h, "raw", nplanes + (1 if mask else 0))
                 plan = _plan(w, h, tile, target_px)
                 for sid, (top, sh) in enumerate(plan[0]):
+                    payload = zlib.compress(px[top:top + sh].tobytes(), 1)
                     out["image_id"].append(r.image_id)
                     out["level"].append(0)
                     out["strip_id"].append(sid)
@@ -86,8 +91,15 @@ def strips_level0(images: DataFrame, tile: int = 512,
                     out["n_levels"].append(len(plan))
                     out["planes"].append(nplanes)
                     out["has_mask"].append(mask)
-                    out["payload"].append(
-                        zlib.compress(px[top:top + sh].tobytes(), 1))
+                    out["payload"].append(payload)
+                    acc += len(payload)
+                    # flush per strip: an oversized image must never require
+                    # its own full output in worker memory
+                    if acc >= FLUSH_BYTES:
+                        yield pd.DataFrame(out)
+                        out = {k: [] for k in cols}
+                        acc = 0
+        if out["image_id"]:
             yield pd.DataFrame(out)
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \

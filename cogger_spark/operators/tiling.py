@@ -83,12 +83,16 @@ def tile_images(images: DataFrame, tile: int = 512, compression: str = "deflate"
     if images.rdd.getNumPartitions() < (parallelism or slots):
         images = images.repartition(parallelism or slots * 2)
 
+    FLUSH_BYTES = 32 * 1024 * 1024  # output-accumulation bound per yield
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import zlib
+        cols = ("image_id", "level", "plane", "ty", "tx", "level_w",
+                "level_h", "n_levels", "planes", "has_mask", "byte_count",
+                "payload")
+        out = {k: [] for k in cols}
+        acc = 0
         for pdf in batches:
-            out = {k: [] for k in ("image_id", "level", "plane", "ty", "tx",
-                                   "level_w", "level_h", "n_levels", "planes",
-                                   "has_mask", "byte_count", "payload")}
             for row in pdf.itertuples(index=False):
                 w, h = int(row.w), int(row.h)
                 data = row.bytes
@@ -114,6 +118,7 @@ def tile_images(images: DataFrame, tile: int = 512, compression: str = "deflate"
                         out["has_mask"].append(mask)
                         out["byte_count"].append(len(payload))
                         out["payload"].append(payload)
+                        acc += len(payload)
                         if mask:
                             mpayload = encode_image(block[:, :, nplanes:], compression)
                             out["image_id"].append(row.image_id)
@@ -128,6 +133,16 @@ def tile_images(images: DataFrame, tile: int = 512, compression: str = "deflate"
                             out["has_mask"].append(mask)
                             out["byte_count"].append(len(mpayload))
                             out["payload"].append(mpayload)
+                            acc += len(mpayload)
+                # flush between images: worker memory is bounded by
+                # FLUSH_BYTES + one decoded image, independent of the Arrow
+                # input batch size (large batches amortize socket overhead
+                # without accumulating their whole output)
+                if acc >= FLUSH_BYTES:
+                    yield pd.DataFrame(out)
+                    out = {k: [] for k in cols}
+                    acc = 0
+        if out["image_id"]:
             yield pd.DataFrame(out)
 
     cols = ["image_id", "bytes", "w", "h", "fmt"]
@@ -383,14 +398,21 @@ def rewrite_tiffs(tiffs: DataFrame, ghost: bool = True,
     header || data equals the split=False blob byte-for-byte (tested)."""
     from ..tiff.codec import Config, rewrite, rewrite_split
 
+    FLUSH_BYTES = 64 * 1024 * 1024  # output blobs flushed by size
+
+    def _new_out():
+        out = {"image_id": [], "in_bytes": [], "out_bytes": []}
+        if split:
+            out["header"], out["data"] = [], []
+        else:
+            out["cog"] = []
+        return out
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cfg = Config(with_gdal_ghost=ghost)
+        out = _new_out()
+        acc = 0
         for pdf in batches:
-            out = {"image_id": [], "in_bytes": [], "out_bytes": []}
-            if split:
-                out["header"], out["data"] = [], []
-            else:
-                out["cog"] = []
             for r in pdf.itertuples(index=False):
                 if split:
                     header, data = rewrite_split(r.bytes, cfg=cfg)
@@ -403,6 +425,12 @@ def rewrite_tiffs(tiffs: DataFrame, ghost: bool = True,
                     out["out_bytes"].append(len(cog))
                 out["image_id"].append(r.image_id)
                 out["in_bytes"].append(len(r.bytes))
+                acc += out["out_bytes"][-1]
+                if acc >= FLUSH_BYTES:
+                    yield pd.DataFrame(out)
+                    out = _new_out()
+                    acc = 0
+        if out["image_id"]:
             yield pd.DataFrame(out)
 
     sc = tiffs.sparkSession.sparkContext

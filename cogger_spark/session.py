@@ -17,13 +17,19 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = "cogger-spark", cores: int | None = None,
               shuffle_partitions: int | None = None,
-              arrow_batch_rows: int = 16,
+              arrow_batch_rows: int = 10_000,
+              arrow_batch_bytes: int = 64 * 1024 * 1024,
               extra: dict | None = None) -> SparkSession:
     """Build (or fetch) a session.
 
-    arrow_batch_rows bounds rows per Arrow batch entering mapInPandas — image
-    rows carry multi-MB binary payloads, so small batches keep Python worker
-    memory O(batch * image_size) regardless of table size.
+    Arrow batches are bounded by BOTH rows and bytes (Spark cuts a batch when
+    either bound is hit): multi-MB image rows get small batches from the byte
+    bound while thin tile/document/metadata rows keep full 10k-row batches —
+    a per-size policy from two global knobs, replacing the round-1 global
+    16-row bound that starved every small-row Python kernel of batch
+    amortization. The pixel kernels additionally flush their OUTPUT by
+    accumulated payload bytes, so worker memory stays bounded even under a
+    foreign session with unbounded batch config.
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
@@ -45,6 +51,7 @@ def get_spark(app_name: str = "cogger-spark", cores: int | None = None,
          .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
+         .config("spark.sql.execution.arrow.maxBytesPerBatch", str(arrow_batch_bytes))
          .config("spark.sql.parquet.compression.codec", "snappy")
          .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
          .config("spark.sql.warehouse.dir",

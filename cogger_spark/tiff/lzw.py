@@ -76,7 +76,7 @@ def undo_horizontal_predictor(buf: bytes, width: int, height: int,
 
 def decode_tile(payload: bytes, compression: int, predictor: int,
                 tile_w: int, tile_h: int, samples: int) -> bytes:
-    """Decode one TIFF tile payload to raw bytes (compressions 1/5/8)."""
+    """Decode one TIFF tile payload to raw bytes (compressions 1/5/8/50000)."""
     import zlib
     n = tile_w * tile_h * samples
     if compression == 1:
@@ -85,6 +85,9 @@ def decode_tile(payload: bytes, compression: int, predictor: int,
         raw = lzw_decode(payload, max_out=n)
     elif compression == 8:
         raw = zlib.decompress(payload)
+    elif compression == 50000:  # ZSTD (GDAL) — pure-Python frame decoder
+        from .zstd import decompress
+        raw = decompress(payload)
     else:
         raise NotImplementedError(f"compression {compression}")
     raw = raw[:n]
