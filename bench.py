@@ -135,9 +135,15 @@ def main() -> None:
     #    reads .tif files exactly like the reference's own workload does.
     from cogger_spark.operators.tiling import convert_images, rewrite_tiffs
     rew_dir = bench_root / "tiffs_raw"
+    # rewrite measures MB/s: 480 images (~8 GB of raw .tif) saturates it;
+    # scaling runs (19200 images) would need ~320 GB of files for no extra
+    # signal, so the input is capped — by row count, not by writer memory
+    # (the parts writer is bounded at any size)
+    rew_n = min(n_images, 480)
     with small_splits():
         if not (rew_dir / "_done").exists():
-            convert_images(images, str(rew_dir), tile=512, compression="raw")
+            convert_images(images.limit(rew_n), str(rew_dir),
+                           tile=512, compression="raw")
             (rew_dir / "_done").touch()
         tiffs = (spark.read.format("binaryFile")
                  .load(str(rew_dir) + "/*.tif")

@@ -159,7 +159,10 @@ pipeline is the representative metric for the 10^12-image design point.
 
 - spark.sql.shuffle.partitions = cores
 - spark.sql.adaptive.enabled / coalescePartitions / skewJoin = true
-- spark.sql.execution.arrow.maxRecordsPerBatch = 16 (image payload bound)
+- spark.sql.execution.arrow.maxRecordsPerBatch = 10000 +
+  maxBytesPerBatch = 64m (batches cut by rows OR bytes: image rows get
+  small batches, thin rows keep full ones); pixel kernels flush output
+  by accumulated payload bytes
 - spark.sql.session.timeZone = UTC
 - input generated by cogger_spark.fixtures (seed-free closed form)
 
