@@ -220,7 +220,8 @@ def strips_to_tiles(strips: DataFrame, tile: int = 512,
 def tile_images_strips(images: DataFrame, tile: int = 512,
                        compression: str = "deflate",
                        target_px: int = 1024 * 1024,
-                       max_levels: int = 16) -> DataFrame:
+                       max_levels: int = 16,
+                       max_dims: tuple[int, int] | None = None) -> DataFrame:
     """images → tiles via the strip pipeline. Level k is an iterative
     DataFrame pass over level k-1 (the VRT barrier of pcogger:60-77 becomes a
     shuffle). n_levels is data-dependent, so the loop depth comes from a
@@ -231,13 +232,15 @@ def tile_images_strips(images: DataFrame, tile: int = 512,
     unioning max_levels-1 mostly-empty shuffle stages for shallow inputs;
     max_levels stays as a hard cap."""
     import math
-    dims = images.agg(F.max("w").alias("w"), F.max("h").alias("h")).first()
-    if dims["w"] is None:  # empty input: one (empty) level-0 frame suffices
+    if max_dims is None:  # caller may pass probed dims to skip this job
+        row = images.agg(F.max("w").alias("w"), F.max("h").alias("h")).first()
+        max_dims = (row["w"], row["h"])
+    if max_dims[0] is None:  # empty input: one (empty) level-0 frame suffices
         depth = 1
     else:
         k_tile = max(0,
-                     math.ceil(math.log2(max(int(dims["w"]), 1) / tile)),
-                     math.ceil(math.log2(max(int(dims["h"]), 1) / tile)))
+                     math.ceil(math.log2(max(int(max_dims[0]), 1) / tile)),
+                     math.ceil(math.log2(max(int(max_dims[1]), 1) / tile)))
         depth = min(max_levels, k_tile + 1)
     level0 = strips_level0(images, tile=tile, target_px=target_px)
     # localCheckpoint would cut lineage on a real cluster run; at these sizes

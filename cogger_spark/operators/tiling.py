@@ -294,26 +294,29 @@ def _tiles_routed(images: DataFrame, tile: int, compression: str,
     strip pipeline (bounded task memory). Both produce byte-identical tiles
     (asserted in tests), so the union is transparent to assembly.
 
-    The routing probe is two limit(1) scans over (w, h) only — no pixel
-    bytes — so deciding the shape costs two sub-second metadata jobs even on
-    a petabyte table."""
+    The routing probe is ONE aggregate over (w, h) only — no pixel bytes, a
+    column-pruned sub-second metadata job even on a petabyte table — whose
+    max dims are also reused as the strip pipeline's pyramid-depth bound
+    (saving its own probe). All-small tables take the direct path with no
+    extra plan nodes at all."""
     from .strips import tile_images_strips
 
     px = F.col("w").cast("long") * F.col("h")
-    small = images.filter(px <= split_threshold_px)
-    big = images.filter(px > split_threshold_px)
-    has_small = small.select("w").limit(1).count() > 0
-    has_big = big.select("w").limit(1).count() > 0
-    frames = []
-    if has_small or not has_big:
-        frames.append(tile_images(small, tile=tile, compression=compression))
-    if has_big:
-        frames.append(tile_images_strips(big, tile=tile, compression=compression,
-                                         target_px=target_px))
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out
+    stats = images.agg(F.min(px).alias("mn"), F.max(px).alias("mx"),
+                       F.max("w").alias("w"), F.max("h").alias("h")).first()
+    has_small = stats["mn"] is not None and stats["mn"] <= split_threshold_px
+    has_big = stats["mx"] is not None and stats["mx"] > split_threshold_px
+    if not has_big:
+        return tile_images(images, tile=tile, compression=compression)
+    max_dims = (int(stats["w"]), int(stats["h"]))
+    strips = tile_images_strips(images.filter(px > split_threshold_px),
+                                tile=tile, compression=compression,
+                                target_px=target_px, max_dims=max_dims)
+    if not has_small:
+        return strips
+    direct = tile_images(images.filter(px <= split_threshold_px),
+                         tile=tile, compression=compression)
+    return direct.unionByName(strips)
 
 
 def cog_pipeline(images: DataFrame, tile: int = 512,

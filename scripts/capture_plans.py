@@ -31,6 +31,12 @@ def main() -> None:
         ("pip_join",
          "cell equi-join + exact refine; Python only in the cell-encode UDF"),
         ("knn_join", "ring explode → equi-join → top-k window"),
+        ("knn_adaptive",
+         "ring ladder 2→4→8: per-rung equi-join + anti-join escalation, "
+         "one lazy DAG"),
+        ("exact_dedup_docs",
+         "hash aggregate keyed on md5(text) with map-side min_by partials — "
+         "the exchange never carries the payload as its key"),
         ("zonal_stats", "broadcast zones → cover-cell join → hash agg"),
         ("phash_canonical", "partial+final hash aggregate, no window"),
         ("nation_revenue", "broadcast dim join + partial aggregation"),
