@@ -65,6 +65,97 @@ def infer_planes(nbytes: int, w: int, h: int) -> tuple[int, bool]:
     return k, False
 
 
+def _decode_and_cut(data: bytes, w: int, h: int, fmt: str, tile: int,
+                    compression: str, min_overview_size: int = 2):
+    """Decode one image, build its pyramid, cut + compress every tile.
+    Returns (nplanes, has_mask, n_levels, level_dims, payloads) with
+    payloads keyed (level, plane, ty, tx) — the single source of pixel
+    semantics shared by the tile-relation kernel (tile_images) and the fused
+    single-pass kernel (tile_and_assemble), so both are byte-identical by
+    construction."""
+    import zlib
+    buf = zlib.decompress(data) if fmt == "deflate" else data
+    nplanes, mask = infer_planes(len(buf), w, h)
+    px = decode_image(buf, w, h, "raw", nplanes + (1 if mask else 0))
+    levels = build_pyramid(px, tile, min_overview_size)
+    level_dims = {}
+    payloads = {}
+    for lvl, lpx in enumerate(levels):
+        lh, lw = lpx.shape[0], lpx.shape[1]
+        level_dims[lvl] = (lw, lh)
+        for tx, ty, block in cut_tiles(lpx, tile):
+            payloads[(lvl, 0, ty, tx)] = encode_image(block[:, :, :nplanes],
+                                                      compression)
+            if mask:
+                payloads[(lvl, 1, ty, tx)] = encode_image(block[:, :, nplanes:],
+                                                          compression)
+    return nplanes, mask, len(levels), level_dims, payloads
+
+
+def _build_cog(image_id: str, nplanes: int, has_mask: bool, n_levels: int,
+               level_dims: dict, payloads: dict, tile: int, comp_tag: int,
+               ghost: bool) -> tuple[bytes, bytes, int]:
+    """Assemble one image's COG from in-memory tile payloads via the
+    byte-exact codec. Returns (header, data, header_bytes) — shared by the
+    grouped assembly kernel and the fused kernel."""
+    from ..tiff.codec import _Writer
+    lon0, lat0 = anchor(img_index(image_id))
+
+    def make_ifd(level: int, plane: int) -> IFD:
+        lw, lh = level_dims[level]
+        ntx = -(-lw // tile)
+        nty = -(-lh // tile)
+        tbc, blobs = [], []
+        for y in range(nty):
+            for x in range(ntx):
+                b = payloads[(level, plane, y, x)]
+                tbc.append(len(b))
+                blobs.append(b)
+        bands = nplanes if plane == 0 else 1
+        ifd = IFD(
+            image_width=lw, image_height=lh,
+            bits_per_sample=(8,) * bands,
+            compression=comp_tag,
+            photometric=(4 if plane == 1 else (2 if bands >= 3 else 1)),
+            samples_per_pixel=bands,
+            planar_configuration=1,
+            tile_width=tile, tile_height=tile,
+            tile_byte_counts=tuple(tbc),
+            tile_offsets=tuple([0] * len(tbc)),
+            software="cogger_spark",
+        )
+        if plane == 0 and bands == 4:
+            ifd.extra_samples = (0,)
+        if level == 0 and plane == 0:
+            # synthetic geo frame (functions/geo.py); overviews/masks get
+            # these stripped by add_overview/add_mask (cog.go:186-193)
+            ifd.model_pixel_scale = (PIXEL_DEG, PIXEL_DEG, 0.0)
+            ifd.model_tie_point = (0.0, 0.0, 0.0, lon0, lat0, 0.0)
+        ifd.load_tile = lambda idx, _b=blobs: _b[idx]
+        return ifd
+
+    main = make_ifd(0, 0)
+    for lvl in range(1, n_levels):
+        ovr = make_ifd(lvl, 0)
+        if has_mask:
+            ovr.add_mask(make_ifd(lvl, 1))
+        main.add_overview(ovr)
+    if has_mask:
+        main.add_mask(make_ifd(0, 1))
+
+    writer = _Writer(main, Config(with_gdal_ghost=ghost))
+    header = writer.header()
+    data = b"".join(writer.tile_data())
+    # default covers the fully-sparse image (every byte_count 0): no tile
+    # occupies bytes, so the data section is empty and the header is all
+    header_end = min((o for f in [main] + ([main.mask] if main.mask else [])
+                      + main.overviews + [o.mask for o in main.overviews if o.mask]
+                      for o in f.new_tile_offsets if o > 0),
+                     default=len(header))
+    header_bytes = int(header_end) - (4 if writer.ghost else 0)
+    return header, data, header_bytes
+
+
 def tile_images(images: DataFrame, tile: int = 512, compression: str = "deflate",
                 min_overview_size: int = 2, parallelism: int | None = None) -> DataFrame:
     """Decode each image, build its 2x-average overview pyramid, cut every
@@ -86,7 +177,6 @@ def tile_images(images: DataFrame, tile: int = 512, compression: str = "deflate"
     FLUSH_BYTES = 32 * 1024 * 1024  # output-accumulation bound per yield
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import zlib
         cols = ("image_id", "level", "plane", "ty", "tx", "level_w",
                 "level_h", "n_levels", "planes", "has_mask", "byte_count",
                 "payload")
@@ -94,46 +184,24 @@ def tile_images(images: DataFrame, tile: int = 512, compression: str = "deflate"
         acc = 0
         for pdf in batches:
             for row in pdf.itertuples(index=False):
-                w, h = int(row.w), int(row.h)
-                data = row.bytes
-                buf = zlib.decompress(data) if row.fmt == "deflate" else data
-                nplanes, mask = infer_planes(len(buf), w, h)
-                px = decode_image(buf, w, h, "raw", nplanes + (1 if mask else 0))
-                levels = build_pyramid(px, tile, min_overview_size)
-                n_levels = len(levels)
-                for lvl, lpx in enumerate(levels):
-                    lh, lw = lpx.shape[0], lpx.shape[1]
-                    for tx, ty, block in cut_tiles(lpx, tile):
-                        img_block = block[:, :, :nplanes]
-                        payload = encode_image(img_block, compression)
-                        out["image_id"].append(row.image_id)
-                        out["level"].append(lvl)
-                        out["plane"].append(0)
-                        out["ty"].append(ty)
-                        out["tx"].append(tx)
-                        out["level_w"].append(lw)
-                        out["level_h"].append(lh)
-                        out["n_levels"].append(n_levels)
-                        out["planes"].append(nplanes)
-                        out["has_mask"].append(mask)
-                        out["byte_count"].append(len(payload))
-                        out["payload"].append(payload)
-                        acc += len(payload)
-                        if mask:
-                            mpayload = encode_image(block[:, :, nplanes:], compression)
-                            out["image_id"].append(row.image_id)
-                            out["level"].append(lvl)
-                            out["plane"].append(1)
-                            out["ty"].append(ty)
-                            out["tx"].append(tx)
-                            out["level_w"].append(lw)
-                            out["level_h"].append(lh)
-                            out["n_levels"].append(n_levels)
-                            out["planes"].append(nplanes)
-                            out["has_mask"].append(mask)
-                            out["byte_count"].append(len(mpayload))
-                            out["payload"].append(mpayload)
-                            acc += len(mpayload)
+                nplanes, mask, n_levels, level_dims, payloads = _decode_and_cut(
+                    row.bytes, int(row.w), int(row.h), row.fmt, tile,
+                    compression, min_overview_size)
+                for (lvl, plane, ty, tx), payload in payloads.items():
+                    lw, lh = level_dims[lvl]
+                    out["image_id"].append(row.image_id)
+                    out["level"].append(lvl)
+                    out["plane"].append(plane)
+                    out["ty"].append(ty)
+                    out["tx"].append(tx)
+                    out["level_w"].append(lw)
+                    out["level_h"].append(lh)
+                    out["n_levels"].append(n_levels)
+                    out["planes"].append(nplanes)
+                    out["has_mask"].append(mask)
+                    out["byte_count"].append(len(payload))
+                    out["payload"].append(payload)
+                    acc += len(payload)
                 # flush between images: worker memory is bounded by
                 # FLUSH_BYTES + one decoded image, independent of the Arrow
                 # input batch size (large batches amortize socket overhead
@@ -204,71 +272,19 @@ def assemble_cogs(tiles: DataFrame, tile: int = 512,
         nplanes = int(pdf["planes"].iloc[0])
         has_mask = bool(pdf["has_mask"].iloc[0])
         n_levels = int(pdf["n_levels"].iloc[0])
-        lon0, lat0 = anchor(img_index(image_id))
-
         payloads = {}
         level_dims = {}
         for r in pdf.itertuples(index=False):
             payloads[(r.level, r.plane, r.ty, r.tx)] = r.payload
             level_dims[r.level] = (int(r.level_w), int(r.level_h))
-
-        def make_ifd(level: int, plane: int) -> IFD:
-            lw, lh = level_dims[level]
-            ntx = -(-lw // tile)
-            nty = -(-lh // tile)
-            tbc, blobs = [], []
-            for y in range(nty):
-                for x in range(ntx):
-                    b = payloads[(level, plane, y, x)]
-                    tbc.append(len(b))
-                    blobs.append(b)
-            bands = nplanes if plane == 0 else 1
-            ifd = IFD(
-                image_width=lw, image_height=lh,
-                bits_per_sample=(8,) * bands,
-                compression=comp_tag,
-                photometric=(4 if plane == 1 else (2 if bands >= 3 else 1)),
-                samples_per_pixel=bands,
-                planar_configuration=1,
-                tile_width=tile, tile_height=tile,
-                tile_byte_counts=tuple(tbc),
-                tile_offsets=tuple([0] * len(tbc)),
-                software="cogger_spark",
-            )
-            if plane == 0 and bands == 4:
-                ifd.extra_samples = (0,)
-            if level == 0 and plane == 0:
-                # synthetic geo frame (functions/geo.py); overviews/masks get
-                # these stripped by add_overview/add_mask (cog.go:186-193)
-                ifd.model_pixel_scale = (PIXEL_DEG, PIXEL_DEG, 0.0)
-                ifd.model_tie_point = (0.0, 0.0, 0.0, lon0, lat0, 0.0)
-            ifd.load_tile = lambda idx, _b=blobs: _b[idx]
-            return ifd
-
-        main = make_ifd(0, 0)
-        for lvl in range(1, n_levels):
-            ovr = make_ifd(lvl, 0)
-            if has_mask:
-                ovr.add_mask(make_ifd(lvl, 1))
-            main.add_overview(ovr)
-        if has_mask:
-            main.add_mask(make_ifd(0, 1))
-
-        from ..tiff.codec import _Writer
-        writer = _Writer(main, Config(with_gdal_ghost=ghost))
-        header = writer.header()
-        data = b"".join(writer.tile_data())
-        # default covers the fully-sparse image (every byte_count 0): no tile
-        # occupies bytes, so the data section is empty and the header is all
-        header_end = min((o for f in [main] + ([main.mask] if main.mask else [])
-                          + main.overviews + [o.mask for o in main.overviews if o.mask]
-                          for o in f.new_tile_offsets if o > 0),
-                         default=len(header))
+        header, data, header_bytes = _build_cog(
+            image_id, nplanes, has_mask, n_levels, level_dims, payloads,
+            tile, comp_tag, ghost)
         base = {
             "image_id": [image_id],
             "n_tiles": [len(pdf)],
             "n_levels": [n_levels],
-            "header_bytes": [int(header_end) - (4 if writer.ghost else 0)],
+            "header_bytes": [header_bytes],
             "total_bytes": [len(header) + len(data)],
         }
         if split:
@@ -277,6 +293,49 @@ def assemble_cogs(tiles: DataFrame, tile: int = 512,
 
     schema = SPLIT_ASSEMBLY_SCHEMA if split else ASSEMBLY_SCHEMA
     return tiles.groupBy("image_id").applyInPandas(kernel, schema=schema)
+
+
+def tile_and_assemble(images: DataFrame, tile: int = 512,
+                      compression: str = "deflate", ghost: bool = True,
+                      min_overview_size: int = 2) -> DataFrame:
+    """FUSED decode→pyramid→cut→assemble: one narrow mapInPandas stage, zero
+    shuffle. A COG's tiles come from exactly one image, so grouping them back
+    by image_id is a shuffle the plan never needed when the product is the
+    blob — fusing removes the full pixel-byte exchange AND two JVM↔Python
+    Arrow round-trips from the conversion path. Byte-identical to
+    assemble_cogs(tile_images(...)) (same _decode_and_cut + _build_cog
+    kernels; asserted in tests). Use the unfused pair when the tiles
+    relation itself is the product (spatial joins, offset queries).
+
+    Memory per task is one image's decoded pixels + its blob — the same
+    whole-image contract as the direct path, so the size router still sends
+    oversized images to the strip pipeline instead."""
+    sc = images.sparkSession.sparkContext
+    if images.rdd.getNumPartitions() < sc.defaultParallelism:
+        images = images.repartition(sc.defaultParallelism * 2)
+    comp_tag = 1 if compression == "raw" else 8
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                nplanes, mask, n_levels, level_dims, payloads = _decode_and_cut(
+                    row.bytes, int(row.w), int(row.h), row.fmt, tile,
+                    compression, min_overview_size)
+                header, data, header_bytes = _build_cog(
+                    row.image_id, nplanes, mask, n_levels, level_dims,
+                    payloads, tile, comp_tag, ghost)
+                # one row per yield: blobs are the unit of memory here
+                yield pd.DataFrame({
+                    "image_id": [row.image_id],
+                    "cog": [header + data],
+                    "n_tiles": [len(payloads)],
+                    "n_levels": [n_levels],
+                    "header_bytes": [header_bytes],
+                    "total_bytes": [len(header) + len(data)],
+                })
+
+    cols = ["image_id", "bytes", "w", "h", "fmt"]
+    return images.select(*cols).mapInPandas(kernel, schema=ASSEMBLY_SCHEMA)
 
 
 # Images above this pixel count route to the strip pipeline: the direct path
@@ -301,14 +360,9 @@ def _tiles_routed(images: DataFrame, tile: int, compression: str,
     extra plan nodes at all."""
     from .strips import tile_images_strips
 
-    px = F.col("w").cast("long") * F.col("h")
-    stats = images.agg(F.min(px).alias("mn"), F.max(px).alias("mx"),
-                       F.max("w").alias("w"), F.max("h").alias("h")).first()
-    has_small = stats["mn"] is not None and stats["mn"] <= split_threshold_px
-    has_big = stats["mx"] is not None and stats["mx"] > split_threshold_px
+    px, has_small, has_big, max_dims = _route_probe(images, split_threshold_px)
     if not has_big:
         return tile_images(images, tile=tile, compression=compression)
-    max_dims = (int(stats["w"]), int(stats["h"]))
     strips = tile_images_strips(images.filter(px > split_threshold_px),
                                 tile=tile, compression=compression,
                                 target_px=target_px, max_dims=max_dims)
@@ -319,34 +373,132 @@ def _tiles_routed(images: DataFrame, tile: int, compression: str,
     return direct.unionByName(strips)
 
 
+def _route_probe(images: DataFrame, split_threshold_px: int):
+    """One column-pruned metadata aggregate deciding the pipeline shape."""
+    px = F.col("w").cast("long") * F.col("h")
+    stats = images.agg(F.min(px).alias("mn"), F.max(px).alias("mx"),
+                       F.max("w").alias("w"), F.max("h").alias("h")).first()
+    has_small = stats["mn"] is not None and stats["mn"] <= split_threshold_px
+    has_big = stats["mx"] is not None and stats["mx"] > split_threshold_px
+    max_dims = (stats["w"], stats["h"])
+    return px, has_small, has_big, max_dims
+
+
 def cog_pipeline(images: DataFrame, tile: int = 512,
                  compression: str = "deflate", ghost: bool = True,
                  split_threshold_px: int = SPLIT_THRESHOLD_PX,
-                 target_px: int = 1024 * 1024) -> DataFrame:
+                 target_px: int = 1024 * 1024, fused: bool = True) -> DataFrame:
     """images → COG blobs, end-to-end (the flagship dataflow).
 
-    The tile stage auto-routes oversized images to the strip pipeline, but
-    the OUTPUT is still one blob row per image — unbounded for gigapixel
-    inputs. Sinks should prefer cog_pipeline_parts/convert_images, which
-    keep the assembly bounded too."""
-    tiles = _tiles_routed(images, tile, compression, split_threshold_px, target_px)
-    return assemble_cogs(tiles, tile=tile, compression=compression, ghost=ghost)
+    Small images take the FUSED zero-shuffle kernel (tile_and_assemble);
+    oversized images route through the strip pipeline (bounded stages) and
+    the grouped assembly. The OUTPUT is still one blob row per image —
+    unbounded for gigapixel inputs; sinks should prefer
+    cog_pipeline_parts/convert_images, which keep the assembly bounded too.
+    fused=False forces the tiles-relation path for all sizes (same bytes,
+    one extra pixel shuffle — useful when the tile relation is reused)."""
+    if not fused:
+        tiles = _tiles_routed(images, tile, compression, split_threshold_px,
+                              target_px)
+        return assemble_cogs(tiles, tile=tile, compression=compression,
+                             ghost=ghost)
+    from .strips import tile_images_strips
+
+    px, has_small, has_big, max_dims = _route_probe(images, split_threshold_px)
+    if not has_big:
+        return tile_and_assemble(images, tile=tile, compression=compression,
+                                 ghost=ghost)
+    strip_tiles = tile_images_strips(images.filter(px > split_threshold_px),
+                                     tile=tile, compression=compression,
+                                     target_px=target_px, max_dims=max_dims)
+    big = assemble_cogs(strip_tiles, tile=tile, compression=compression,
+                        ghost=ghost)
+    if not has_small:
+        return big
+    small = tile_and_assemble(images.filter(px <= split_threshold_px),
+                              tile=tile, compression=compression, ghost=ghost)
+    return small.unionByName(big)
+
+
+def tile_and_assemble_parts(images: DataFrame, tile: int = 512,
+                            compression: str = "deflate", ghost: bool = True,
+                            tiles_per_part: int = 256,
+                            min_overview_size: int = 2) -> DataFrame:
+    """Fused parts emission for small images: header + data chunks produced
+    in the same task that decoded the image — zero shuffle. The data section
+    is sliced at the same ranked-tile boundaries assemble_cog_parts groups
+    on (tile order W1, ghost framing included in the codec's data stream),
+    so the parts are byte-identical to the grouped path (tested)."""
+    sc = images.sparkSession.sparkContext
+    if images.rdd.getNumPartitions() < sc.defaultParallelism:
+        images = images.repartition(sc.defaultParallelism * 2)
+    comp_tag = 1 if compression == "raw" else 8
+    overhead = GHOST_OVERHEAD if ghost else 0
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                nplanes, mask, n_levels, level_dims, payloads = _decode_and_cut(
+                    row.bytes, int(row.w), int(row.h), row.fmt, tile,
+                    compression, min_overview_size)
+                header, data, _hb = _build_cog(
+                    row.image_id, nplanes, mask, n_levels, level_dims,
+                    payloads, tile, comp_tag, ghost)
+                keys = sorted(payloads, key=lambda k: (-k[0], k[2], k[3], k[1]))
+                ids, idxs, parts = [row.image_id], [0], [header]
+                off = 0
+                for c0 in range(0, len(keys), tiles_per_part):
+                    size = sum(len(payloads[k]) + overhead
+                               for k in keys[c0:c0 + tiles_per_part]
+                               if payloads[k])
+                    ids.append(row.image_id)
+                    idxs.append(c0 // tiles_per_part + 1)
+                    parts.append(data[off:off + size])
+                    off += size
+                assert off == len(data)
+                yield pd.DataFrame({"image_id": ids, "part_idx": idxs,
+                                    "part": parts})
+
+    cols = ["image_id", "bytes", "w", "h", "fmt"]
+    return images.select(*cols).mapInPandas(kernel, schema=PARTS_SCHEMA)
 
 
 def cog_pipeline_parts(images: DataFrame, tile: int = 512,
                        compression: str = "deflate", ghost: bool = True,
                        split_threshold_px: int = SPLIT_THRESHOLD_PX,
                        target_px: int = 1024 * 1024,
-                       tiles_per_part: int = 256) -> DataFrame:
-    """images → ordered COG parts with bounded memory end-to-end: the
-    size-routed tile stage feeds the streaming parts assembly (header from
-    metadata only; ghost-framed data chunks of <= tiles_per_part tiles).
-    Concatenating an image's parts in part_idx order is byte-identical to
-    the assemble_cogs blob (tested) — this is the sink-safe default for any
-    table that may contain oversized images."""
-    tiles = _tiles_routed(images, tile, compression, split_threshold_px, target_px)
-    return assemble_cog_parts(tiles, tile=tile, compression=compression,
-                              ghost=ghost, tiles_per_part=tiles_per_part)
+                       tiles_per_part: int = 256,
+                       fused: bool = True) -> DataFrame:
+    """images → ordered COG parts with bounded memory end-to-end. Small
+    images take the fused zero-shuffle parts kernel; oversized images route
+    through the strip pipeline into the streaming parts assembly (header
+    from metadata only; ghost-framed data chunks of <= tiles_per_part
+    tiles). Concatenating an image's parts in part_idx order is
+    byte-identical to the assemble_cogs blob (tested) — this is the
+    sink-safe default for any table that may contain oversized images."""
+    if not fused:
+        tiles = _tiles_routed(images, tile, compression, split_threshold_px,
+                              target_px)
+        return assemble_cog_parts(tiles, tile=tile, compression=compression,
+                                  ghost=ghost, tiles_per_part=tiles_per_part)
+    from .strips import tile_images_strips
+
+    px, has_small, has_big, max_dims = _route_probe(images, split_threshold_px)
+    if not has_big:
+        return tile_and_assemble_parts(images, tile=tile,
+                                       compression=compression, ghost=ghost,
+                                       tiles_per_part=tiles_per_part)
+    strip_tiles = tile_images_strips(images.filter(px > split_threshold_px),
+                                     tile=tile, compression=compression,
+                                     target_px=target_px, max_dims=max_dims)
+    big = assemble_cog_parts(strip_tiles, tile=tile, compression=compression,
+                             ghost=ghost, tiles_per_part=tiles_per_part)
+    if not has_small:
+        return big
+    small = tile_and_assemble_parts(images.filter(px <= split_threshold_px),
+                                    tile=tile, compression=compression,
+                                    ghost=ghost, tiles_per_part=tiles_per_part)
+    return small.unionByName(big)
 
 
 def convert_images(images: DataFrame, out_dir: str, tile: int = 512,

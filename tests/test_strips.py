@@ -168,3 +168,42 @@ def test_oversized_e2e_bounded_parts(spark):
     for r in parts:
         if r.part_idx > 0:
             assert len(bytes(r.part)) <= data_bound
+
+
+def test_fused_assemble_equals_grouped(spark, big_images):
+    """tile_and_assemble (zero-shuffle fused kernel) must produce blobs
+    byte-identical to assemble_cogs(tile_images(...)) — same decode/cut and
+    codec helpers, one plan shape fewer."""
+    from cogger_spark.operators.tiling import tile_and_assemble
+    grouped = {r.image_id: (bytes(r.cog), r.n_tiles, r.n_levels,
+                            r.header_bytes, r.total_bytes)
+               for r in assemble_cogs(tile_images(big_images, tile=TILE),
+                                      tile=TILE).collect()}
+    fused = {r.image_id: (bytes(r.cog), r.n_tiles, r.n_levels,
+                          r.header_bytes, r.total_bytes)
+             for r in tile_and_assemble(big_images, tile=TILE).collect()}
+    assert fused == grouped
+
+
+def test_fused_parts_equal_grouped_parts(spark, big_images):
+    from cogger_spark.operators.tiling import (
+        assemble_cog_parts, tile_and_assemble_parts)
+    grouped = {(r.image_id, r.part_idx): bytes(r.part)
+               for r in assemble_cog_parts(tile_images(big_images, tile=TILE),
+                                           tile=TILE, tiles_per_part=7).collect()}
+    fused = {(r.image_id, r.part_idx): bytes(r.part)
+             for r in tile_and_assemble_parts(big_images, tile=TILE,
+                                              tiles_per_part=7).collect()}
+    assert fused == grouped
+
+
+def test_cog_pipeline_fused_equals_unfused_mixed(spark, big_images):
+    fused = {r.image_id: bytes(r.cog)
+             for r in cog_pipeline(big_images, tile=TILE,
+                                   split_threshold_px=600 * 600,
+                                   target_px=TARGET).collect()}
+    unfused = {r.image_id: bytes(r.cog)
+               for r in cog_pipeline(big_images, tile=TILE,
+                                     split_threshold_px=600 * 600,
+                                     target_px=TARGET, fused=False).collect()}
+    assert fused == unfused
