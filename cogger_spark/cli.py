@@ -48,6 +48,15 @@ def main(argv=None) -> int:
                    help="write <out>/<image_id>.tif files directly "
                         "(non-checkpointed) instead of parts parquet")
 
+    r = sub.add_parser("rewrite", help="directory of .tif files -> COG files "
+                       "(the reference CLI's own job, distributed)")
+    r.add_argument("--in-dir", required=True)
+    r.add_argument("--out", required=True)
+    r.add_argument("--multifile", action="store_true",
+                   help="group main + external overview files "
+                        "(.tif.ovr/.tif.N) per image before rewriting")
+    r.add_argument("--no-ghost", action="store_true")
+
     m = sub.add_parser("manifest")
     m.add_argument("--images", required=True)
     m.add_argument("--out", required=True)
@@ -84,6 +93,18 @@ def main(argv=None) -> int:
                     split_threshold_px=thresh))
             metrics_table(spark, ckpt).show(truncate=False)
             print(f"convert: {len(recs)} buckets processed this run")
+    elif args.cmd == "rewrite":
+        from cogger_spark.operators.tiling import rewrite_tiff_sets, rewrite_tiffs
+        from cogger_spark.sources.tiffdir import (
+            read_tiff_dir, read_tiff_sets_dir, write_tiff_dir)
+        ghost = not args.no_ghost
+        if args.multifile:
+            parts = read_tiff_sets_dir(spark, args.in_dir)
+            cogs = rewrite_tiff_sets(parts, ghost=ghost)
+        else:
+            cogs = rewrite_tiffs(read_tiff_dir(spark, args.in_dir), ghost=ghost)
+        write_tiff_dir(cogs, args.out)
+        print(f"rewrite: wrote COGs under {args.out}")
     elif args.cmd == "manifest":
         from cogger_spark.operators.spatial import tile_manifest
         images = spark.read.parquet(args.images)
