@@ -145,12 +145,8 @@ def main() -> None:
             convert_images(images.limit(rew_n), str(rew_dir),
                            tile=512, compression="raw")
             (rew_dir / "_done").touch()
-        tiffs = (spark.read.format("binaryFile")
-                 .load(str(rew_dir) + "/*.tif")
-                 .select(F.regexp_replace(
-                     F.element_at(F.split("path", "/"), -1),
-                     r"\.tif$", "").alias("image_id"),
-                     F.col("content").alias("bytes")))
+        from cogger_spark.sources.tiffdir import read_tiff_dir
+        tiffs = read_tiff_dir(spark, str(rew_dir))
         rew = timed("cog_rewrite", lambda: rewrite_tiffs(tiffs)
                     .agg({"in_bytes": "sum"}).collect()[0])
     rewrite_mb = int(rew["sum(in_bytes)"]) / 1e6
