@@ -157,11 +157,14 @@ def main() -> None:
           lambda: spatial.tile_manifest(images, tile=512, level=None).count())
     timed("pip_join", lambda: spatial.pip_join(points, manifest).count())
     timed("knn_join", lambda: spatial.knn_join(points, manifest, k=5).count())
+    timed("knn_adaptive",
+          lambda: spatial.knn_join_adaptive(points, manifest, k=2).count())
     timed("zonal_stats", lambda: spatial.zonal_stats(zones, manifest).count())
     timed("phash_canonical", lambda: spatial.phash_canonical(images).count())
 
     # 4. documents / embeddings / relational at sf_dir scale
-    for name in ("minhash_lsh_dedup", "ngram_jaccard_pairs", "ann_cosine_topk",
+    for name in ("minhash_lsh_dedup", "simhash_pairs", "ngram_jaccard_pairs",
+                 "ann_cosine_topk",
                  "doc_quality", "doc_fingerprint", "pricing_summary",
                  "orders_topk_per_customer", "events_by_type"):
         timed(name, lambda n=name: Q.ALL_QUERIES[n](spark, args.sf_dir).count())

@@ -380,9 +380,8 @@ def tile_pixel_stats(images: DataFrame, tile: int = 512) -> DataFrame:
                         out["px_max"].append(int(block.max()))
             yield pd.DataFrame(out)
 
-    sc = images.sparkSession.sparkContext
-    if images.rdd.getNumPartitions() < sc.defaultParallelism:
-        images = images.repartition(sc.defaultParallelism * 2)
+    from .tiling import ensure_fanout
+    images = ensure_fanout(images)
     return images.select("image_id", "bytes", "w", "h", "fmt") \
                  .mapInPandas(kernel, schema=schema)
 

@@ -60,9 +60,8 @@ def strips_level0(images: DataFrame, tile: int = 512,
                   target_px: int = 1024 * 1024) -> DataFrame:
     """Decode each image once and emit its full-res strips as rows."""
 
-    sc = images.sparkSession.sparkContext
-    if images.rdd.getNumPartitions() < sc.defaultParallelism:
-        images = images.repartition(sc.defaultParallelism * 2)
+    from .tiling import ensure_fanout
+    images = ensure_fanout(images)
 
     FLUSH_BYTES = 32 * 1024 * 1024  # output-accumulation bound per yield
 

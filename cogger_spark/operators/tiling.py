@@ -54,6 +54,23 @@ TILE_SCHEMA = (
 GHOST_OVERHEAD = 8  # BLOCK_LEADER (4) + BLOCK_TRAILER (4), cog.go:733-743
 
 
+def ensure_fanout(df, parallelism: int | None = None, factor: int = 2):
+    """Repartition a pixel-stage input ONLY if its scan yields fewer splits
+    than the cluster has slots (fat parquet files with huge row groups).
+    Well-chunked tables skip the (expensive — it moves the pixel bytes)
+    shuffle entirely: Spark's own split sizing already fans a multi-row-group
+    file out to ~defaultParallelism. The split-count probe converts the plan
+    to an RDD once (no job is run); this helper is the single place that
+    touches .rdd in the package."""
+    slots = df.sparkSession.sparkContext.defaultParallelism
+    target = parallelism or slots
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition((parallelism or slots) * factor
+                              if parallelism is None else parallelism)
+    return df
+
+
+
 def infer_planes(nbytes: int, w: int, h: int) -> tuple[int, bool]:
     """Plane count from the decoded buffer size; 2 or 5 planes means the last
     plane is a mask (fixture convention documented in fixtures.py)."""
@@ -169,10 +186,7 @@ def tile_images(images: DataFrame, tile: int = 512, compression: str = "deflate"
     sizing already fans a multi-row-group file out to ~defaultParallelism, so
     the (expensive — it moves the pixel bytes) repartition only fires when
     the scan genuinely cannot use the available slots."""
-    sc = images.sparkSession.sparkContext
-    slots = sc.defaultParallelism
-    if images.rdd.getNumPartitions() < (parallelism or slots):
-        images = images.repartition(parallelism or slots * 2)
+    images = ensure_fanout(images, parallelism)
 
     FLUSH_BYTES = 32 * 1024 * 1024  # output-accumulation bound per yield
 
@@ -310,9 +324,7 @@ def tile_and_assemble(images: DataFrame, tile: int = 512,
     Memory per task is one image's decoded pixels + its blob — the same
     whole-image contract as the direct path, so the size router still sends
     oversized images to the strip pipeline instead."""
-    sc = images.sparkSession.sparkContext
-    if images.rdd.getNumPartitions() < sc.defaultParallelism:
-        images = images.repartition(sc.defaultParallelism * 2)
+    images = ensure_fanout(images)
     comp_tag = 1 if compression == "raw" else 8
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -429,9 +441,7 @@ def tile_and_assemble_parts(images: DataFrame, tile: int = 512,
     is sliced at the same ranked-tile boundaries assemble_cog_parts groups
     on (tile order W1, ghost framing included in the codec's data stream),
     so the parts are byte-identical to the grouped path (tested)."""
-    sc = images.sparkSession.sparkContext
-    if images.rdd.getNumPartitions() < sc.defaultParallelism:
-        images = images.repartition(sc.defaultParallelism * 2)
+    images = ensure_fanout(images)
     comp_tag = 1 if compression == "raw" else 8
     overhead = GHOST_OVERHEAD if ghost else 0
 
@@ -588,9 +598,7 @@ def rewrite_tiffs(tiffs: DataFrame, ghost: bool = True,
         if out["image_id"]:
             yield pd.DataFrame(out)
 
-    sc = tiffs.sparkSession.sparkContext
-    if tiffs.rdd.getNumPartitions() < sc.defaultParallelism:
-        tiffs = tiffs.repartition(sc.defaultParallelism * 2)
+    tiffs = ensure_fanout(tiffs)
     schema = SPLIT_REWRITE_SCHEMA if split else REWRITE_SCHEMA
     return tiffs.select("image_id", "bytes").mapInPandas(kernel, schema)
 
