@@ -31,3 +31,18 @@ def write_bucketed(df: DataFrame, table: str, key: str, buckets: int = 16,
 def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
                   key: str, how: str = "inner") -> DataFrame:
     return spark.table(left_table).join(spark.table(right_table), key, how)
+
+
+def materialize_tiles(images: DataFrame, table: str = "tiles_bucketed",
+                      buckets: int = 64, tile: int = 512,
+                      compression: str = "deflate") -> None:
+    """Persist the tiles relation bucketed (and sorted) by image_id: the
+    pixel stage runs ONCE, the bucket shuffle is paid once at write time, and
+    every later per-image operation — COG assembly (groupBy image_id),
+    mask/metadata joins, repeated spatial-join feeds — reads pre-clustered
+    buckets and plans with NO Exchange on the tiles side (asserted in
+    tests). This is the pay-the-shuffle-once pattern for workloads that
+    query the same tile relation many times without re-decoding pixels."""
+    from ..operators.tiling import tile_images
+    write_bucketed(tile_images(images, tile=tile, compression=compression),
+                   table, "image_id", buckets=buckets)

@@ -231,3 +231,27 @@ def test_band_index_stats_vs_numpy(spark):
         assert r.n_valid == int(valid.sum())
         assert abs(r.nd_mean - vals.mean()) < 1e-12
         assert r.nd_min == vals.min() and r.nd_max == vals.max()
+
+
+def test_materialized_tiles_assemble_without_exchange(spark, fixture_dir):
+    """Persisted bucketed tiles: assembly (groupBy image_id) and image_id
+    joins read pre-clustered buckets — no Exchange in either plan, and the
+    assembled blobs equal the direct pipeline's."""
+    from cogger_spark.fixtures import FIXTURE_DIR
+    from cogger_spark.operators.tiling import assemble_cogs, tile_images
+    from cogger_spark.sources.bucketed import materialize_tiles
+
+    images = spark.read.parquet(str(FIXTURE_DIR / "images_test.parquet")).limit(8)
+    materialize_tiles(images, table="t_tiles_b", buckets=4, tile=512)
+    try:
+        tiles = spark.table("t_tiles_b")
+        assembled = assemble_cogs(tiles, tile=512)
+        plan = assembled._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        direct = {r.image_id: bytes(r.cog)
+                  for r in assemble_cogs(tile_images(images, tile=512),
+                                         tile=512).collect()}
+        persisted = {r.image_id: bytes(r.cog) for r in assembled.collect()}
+        assert persisted == direct
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_tiles_b")
