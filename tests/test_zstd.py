@@ -99,3 +99,29 @@ def test_decode_tile_dispatches_zstd():
                       main.samples_per_pixel)
     assert len(raw) == (main.tile_width * main.tile_height
                         * main.samples_per_pixel)
+
+
+def test_property_roundtrip_random_structured(jzstd):
+    """Property-style sweep: many deterministic pseudo-random payload shapes
+    (mixed runs, random segments, repeated motifs, varied lengths incl. odd
+    sizes) x levels — every libzstd-compressed frame must decode exactly."""
+    rng = np.random.RandomState(20260816)
+    for trial in range(40):
+        n_seg = rng.randint(1, 6)
+        segs = []
+        for _ in range(n_seg):
+            kind = rng.randint(4)
+            ln = int(rng.randint(0, 5000))
+            if kind == 0:
+                segs.append(bytes([rng.randint(256)]) * ln)        # run
+            elif kind == 1:
+                segs.append(rng.bytes(ln))                         # noise
+            elif kind == 2:
+                motif = rng.bytes(rng.randint(1, 32))
+                segs.append((motif * (ln // max(1, len(motif)) + 1))[:ln])
+            else:
+                segs.append(bytes(range(256)) * (ln // 256 + 1))   # ramp
+        payload = b"".join(segs)
+        level = int(rng.choice([1, 3, 6, 12, 19, 22]))
+        comp = bytes(jzstd.compress(payload, level))
+        assert zstd_decompress(comp) == payload, (trial, level, len(payload))
