@@ -74,6 +74,34 @@ def stream_cog(spark: SparkSession, in_dir: str, out_dir: str,
      .awaitTermination())
 
 
+def stream_cog_files(spark: SparkSession, in_dir: str, out_dir: str,
+                     checkpoint_dir: str, tile: int = 512,
+                     tiles_per_part: int = 256) -> None:
+    """Incremental image arrival → COG FILES: each micro-batch runs the
+    size-routed bounded conversion (fused kernel for small images, strips +
+    parts for oversized) and appends <out_dir>/<image_id>.tif — the
+    streaming face of convert_images, exactly-once per source file via the
+    stream checkpoint."""
+    from ..operators.tiling import convert_images
+
+    stream = (spark.readStream.schema(IMAGE_SCHEMA)
+              .option("maxFilesPerTrigger", 2)
+              .parquet(in_dir))
+
+    def handle(batch_df, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        convert_images(batch_df, out_dir, tile=tile,
+                       tiles_per_part=tiles_per_part)
+
+    (stream.writeStream
+     .foreachBatch(handle)
+     .option("checkpointLocation", checkpoint_dir)
+     .trigger(availableNow=True)
+     .start()
+     .awaitTermination())
+
+
 def stream_event_counts(spark: SparkSession, in_dir: str, out_dir: str,
                         checkpoint_dir: str, window: str = "1 hour",
                         watermark: str = "2 hours") -> None:

@@ -255,3 +255,41 @@ def test_materialized_tiles_assemble_without_exchange(spark, fixture_dir):
         assert persisted == direct
     finally:
         spark.sql("DROP TABLE IF EXISTS t_tiles_b")
+
+
+def test_stream_cog_files_matches_batch_convert(spark, smoke_images, tmp_path):
+    """Streaming file conversion: micro-batched convert_images writes the
+    same .tif files the one-shot batch sink produces."""
+    import pathlib
+    from cogger_spark.operators.tiling import assemble_cogs, tile_images
+    from cogger_spark.streaming.ingest import stream_cog_files
+    in_dir = str(tmp_path / "scf_in")
+    src = spark.read.parquet(smoke_images).limit(10)
+    src.repartition(3).write.parquet(in_dir)
+    out = tmp_path / "scf_out"
+    stream_cog_files(spark, in_dir, str(out), str(tmp_path / "scf_ck"))
+    want = {r.image_id: bytes(r.cog)
+            for r in assemble_cogs(tile_images(src, tile=512),
+                                   tile=512).collect()}
+    files = {f.stem: f.read_bytes() for f in pathlib.Path(out).glob("*.tif")}
+    assert files == want
+
+
+def test_cog_files_roundtrip_through_cogread(spark, smoke_images, tmp_path):
+    """Composition: convert to files → read the directory back (tiffdir
+    source) → header audit + thumbnails run directly on the files, with
+    headers matching the source dims."""
+    from cogger_spark.operators.cogread import extract_thumbnails, read_cog_headers
+    from cogger_spark.operators.tiling import convert_images
+    from cogger_spark.sources.tiffdir import read_tiff_dir
+    import pyspark.sql.functions as F
+    src = spark.read.parquet(smoke_images).limit(6)
+    out = tmp_path / "rt_out"
+    convert_images(src, str(out), tile=512)
+    cogs = read_tiff_dir(spark, str(out)).withColumnRenamed("bytes", "cog")
+    hdrs = {r.image_id: (r.w, r.h) for r in read_cog_headers(cogs).collect()}
+    want = {r.image_id: (r.w, r.h) for r in src.select("image_id", "w", "h").collect()}
+    assert hdrs == want
+    thumbs = extract_thumbnails(cogs)
+    assert thumbs.filter(F.col("thumb").isNull()).count() == 0
+    assert thumbs.count() == 6
