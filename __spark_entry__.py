@@ -69,6 +69,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_stats": o.DATASET_STATS,
         "point_grid_counts": o.POINT_GRID_COUNTS,
         "tile_offsets_raw": o.TILE_OFFSETS_RAW,
+        "tile_pixel_sums": o.TILE_PIXEL_SUMS,
         # spatial joins
         "pip_join": o.PIP_JOIN,
         "knn_join": o.KNN_JOIN,

@@ -534,6 +534,70 @@ FROM {POINTS}
 GROUP BY 1, 2
 """
 
+# Real decoded-pixel sums in closed form: the fixture pattern is
+# px[y, x, b] = v * (x % 4) with v = (b*10 + (y//128)*2 + (x//128)) * 2
+# (fixtures.make_pixels; (y%128*128 + x%128) % 4 == x % 4 since 128 % 4 == 0,
+# and values stay < 256 at fixture dims so the uint8 & 0xFF never wraps).
+# Per level-0 tile the sum factorizes over 128-blocks:
+#   px_sum = Σ_{by,bx} ny(by) * (f(xe) - f(xs)) * vsum(by, bx)
+# with f(n) = Σ_{x<n} x%4 = 6*(n//4) + [0,0,1,3][n%4] and
+# vsum = Σ_b v = 10*nb*(nb-1) + 2*nb*(2*by + bx)  (mask plane excluded, as in
+# tile_pixel_stats). This pins the engine's REAL decode+slice kernel against
+# pure SQL — not just metadata.
+TILE_PIXEL_SUMS = f"""
+WITH img AS (
+  SELECT image_id, w, h, CAST(substr(image_id, 5, 8) AS BIGINT) AS img_idx
+  FROM {IMAGES}
+),
+banded AS (
+  SELECT *, CASE img_idx % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS nb
+  FROM img
+),
+tiles AS (
+  SELECT image_id, w, h, nb,
+    UNNEST(generate_series(0, CAST(CEIL(h / 512.0) AS INT) - 1)) AS ty
+  FROM banded
+),
+tilesx AS (
+  SELECT *, UNNEST(generate_series(0, CAST(CEIL(w / 512.0) AS INT) - 1)) AS tx
+  FROM tiles
+),
+bounds AS (
+  SELECT image_id, nb, ty, tx,
+    ty * 512 AS y0, LEAST(h, (ty + 1) * 512) AS y1,
+    tx * 512 AS x0, LEAST(w, (tx + 1) * 512) AS x1
+  FROM tilesx
+),
+blky AS (
+  SELECT *, UNNEST(generate_series(y0 // 128, (y1 - 1) // 128)) AS by
+  FROM bounds
+),
+blk AS (
+  SELECT *, UNNEST(generate_series(x0 // 128, (x1 - 1) // 128)) AS bx
+  FROM blky
+),
+pieces AS (
+  SELECT image_id, nb, ty, tx, y0, y1, x0, x1, by, bx,
+    LEAST(y1, (by + 1) * 128) - GREATEST(y0, by * 128) AS ny,
+    GREATEST(x0, bx * 128) AS xs,
+    LEAST(x1, (bx + 1) * 128) AS xe
+  FROM blk
+),
+summed AS (
+  SELECT image_id, ty, tx,
+    SUM(ny
+        * ((6 * (xe // 4) + (CASE xe % 4 WHEN 2 THEN 1 WHEN 3 THEN 3 ELSE 0 END))
+           - (6 * (xs // 4) + (CASE xs % 4 WHEN 2 THEN 1 WHEN 3 THEN 3 ELSE 0 END)))
+        * (10 * nb * (nb - 1) + 2 * nb * (2 * by + bx))) AS px_sum,
+    SUM(ny * (xe - xs)) * MAX(nb) AS px_count
+  FROM pieces
+  GROUP BY image_id, ty, tx
+)
+SELECT image_id, CAST(ty AS BIGINT) AS ty, CAST(tx AS BIGINT) AS tx,
+       CAST(px_count AS BIGINT) AS px_count, CAST(px_sum AS BIGINT) AS px_sum
+FROM summed
+"""
+
 # connected components over the exact blocked near-dup pairs: transitive
 # closure by recursive CTE, min reachable id per node
 DUP_CLUSTERS = """

@@ -114,11 +114,22 @@ def q_point_grid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial.point_grid_counts(_points(spark), salt_buckets=32)
 
 
+def q_tile_pixel_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel work against pure SQL: per-tile pixel count and sum from
+    the decode+slice kernel (raw and deflate inputs alike), reconciled with
+    the closed-form fixture-pattern oracle — pins decoded CONTENT, not just
+    metadata, into the oracle-checked set."""
+    stats = spatial.tile_pixel_stats(_images(spark), tile=512)
+    out = stats.select("image_id", "ty", "tx", "px_count", "px_sum")
+    return _longs(out, "ty", "tx", "px_count", "px_sum")
+
+
 SPATIAL_QUERIES = {
     "point_grid_counts": q_point_grid_counts,
     "dataset_stats": q_dataset_stats,
     "tile_manifest": q_tile_manifest,
     "tile_offsets_raw": q_tile_offsets_raw,
+    "tile_pixel_sums": q_tile_pixel_sums,
     "pip_join": q_pip_join,
     "knn_join": q_knn_join,
     "knn_adaptive": q_knn_adaptive,

@@ -36,6 +36,7 @@ def compare(spark_df, sql: str, float_tol: float = 0.0):
 
 CASES = [
     ("tile_manifest", oracles.TILE_MANIFEST),
+    ("tile_pixel_sums", oracles.TILE_PIXEL_SUMS),
     ("pip_join", oracles.PIP_JOIN),
     ("knn_join", oracles.KNN_JOIN),
     ("knn_adaptive", oracles.KNN_ADAPTIVE),
