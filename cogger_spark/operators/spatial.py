@@ -216,6 +216,8 @@ def knn_join_adaptive(points: DataFrame, tiles: DataFrame, k: int = 5,
     (chosen rung = first with >= k distinct candidate tiles; top-k by squared
     center distance with (image_id, ty, tx) tiebreak) are exactly mirrored by
     the KNN_ADAPTIVE SQL oracle. Output adds the chosen `ring` per point."""
+    if not rings:
+        raise ValueError("knn_join_adaptive: rings ladder must be non-empty")
     tc = with_tile_cells(tiles, res).withColumnRenamed("cell_id", "ring_cell")
     out = None
     remaining = points

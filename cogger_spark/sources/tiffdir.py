@@ -45,7 +45,10 @@ def read_tiff_sets_dir(spark: SparkSession, path: str) -> DataFrame:
              .select(F.element_at(F.split("path", "/"), -1).alias("fname"),
                      F.col("content").alias("bytes")))
     image_id = _stem(F.regexp_replace("fname", r"(\.tif)(\..*)?$", r"$1"))
-    suffix = F.regexp_extract("fname", r"\.tif\.(.+)$", 1)
+    raw_suffix = F.regexp_extract("fname", r"\.tif\.(.+)$", 1)
+    # numeric suffixes sort numerically (".10" after ".2"), others as text
+    suffix = F.when(raw_suffix.rlike(r"^[0-9]+$"),
+                    F.lpad(raw_suffix, 12, "0")).otherwise(raw_suffix)
     w = Window.partitionBy("image_id").orderBy("part_rank")
     return (files.withColumn("image_id", image_id)
             .withColumn("part_rank", suffix)

@@ -518,6 +518,8 @@ def _decode_frame(data: bytes, pos: int) -> tuple[bytearray, int]:
     st = _FrameState()
     out = bytearray()
     while True:
+        if pos + 3 > len(data):
+            raise ValueError("zstd: truncated input (missing block header)")
         hdr = int.from_bytes(data[pos:pos + 3], "little")
         pos += 3
         last = hdr & 1
