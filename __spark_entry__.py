@@ -87,6 +87,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": o.NGRAM_JACCARD_PAIRS,
         "dup_clusters": o.DUP_CLUSTERS,
         "embed_neardup": o.EMBED_NEARDUP,
+        "embed_dup_clusters": o.EMBED_DUP_CLUSTERS,
         "ann_cosine_topk": o.ANN_COSINE_TOPK,
         # generic relational
         "pricing_summary": o.PRICING_SUMMARY,

@@ -70,6 +70,20 @@ def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataF
             .select("label", "vec_a", "vec_b", "cosine"))
 
 
+def embed_dup_clusters(embeddings, threshold: float = 0.4):
+    """Semantic dedup end-to-end: exact blocked cosine near-dup pairs →
+    connected components (alternating large-star/small-star) →
+    (vec_id, canonical_id) for every vector in any near-dup pair — the
+    embedding analogue of dedup_clusters, with the same O(log n)-round
+    clustering core."""
+    from .dedup import connected_components
+    pairs = (cosine_neardup_pairs(embeddings, threshold)
+             .select(F.col("vec_a").alias("doc_a"),
+                     F.col("vec_b").alias("doc_b")))
+    labels, _ = connected_components(pairs)
+    return labels.select(F.col("doc_id").alias("vec_id"), "canonical_id")
+
+
 # ---------------------------------------------------------------------------
 # IVF ANN (coarse k-means quantizer + nprobe search)
 # ---------------------------------------------------------------------------

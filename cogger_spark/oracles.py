@@ -598,6 +598,34 @@ SELECT image_id, CAST(ty AS BIGINT) AS ty, CAST(tx AS BIGINT) AS tx,
 FROM summed
 """
 
+# semantic dedup: transitive closure over the exact blocked cosine pairs
+EMBED_DUP_CLUSTERS = """
+WITH RECURSIVE e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+pairs AS (
+  SELECT vec_a, vec_b FROM (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      list_dot_product(a.emb, b.emb)
+        / (SQRT(list_dot_product(a.emb, a.emb)) * SQRT(list_dot_product(b.emb, b.emb)))
+        AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  ) WHERE cosine >= 0.4
+),
+edges AS (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION
+  SELECT vec_b AS a, vec_a AS b FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e2.a, r.lbl FROM edges e2 JOIN reach r ON e2.b = r.node
+)
+SELECT node AS vec_id, CAST(MIN(lbl) AS BIGINT) AS canonical_id
+FROM reach GROUP BY node
+"""
+
 # connected components over the exact blocked near-dup pairs: transitive
 # closure by recursive CTE, min reachable id per node
 DUP_CLUSTERS = """

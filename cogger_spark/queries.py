@@ -211,6 +211,11 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(_tbl(spark, sf_dir, "embeddings"), k=10, query_mod=50)
 
 
+def q_embed_dup_clusters(spark, sf_dir):
+    from .operators.similarity import embed_dup_clusters
+    return embed_dup_clusters(_tbl(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
 def q_dup_clusters(spark, sf_dir):
     """Connected components over the EXACT blocked near-dup pairs (so the
     recursive-CTE oracle sees the same edge set; the LSH-fed variant is
@@ -233,6 +238,7 @@ DOC_QUERIES = {
     "minhash_lsh_dedup": q_minhash_lsh_dedup,    # no oracle (LSH buckets)
     "simhash_pairs": q_simhash_pairs,            # no oracle (crc signatures)
     "embed_neardup": q_embed_neardup,
+    "embed_dup_clusters": q_embed_dup_clusters,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,              # no oracle (LSH buckets)
 }

@@ -48,6 +48,7 @@ ORACLE_CASES = [
     ("simhash_pairs", "SIMHASH_PAIRS"),
     ("dup_clusters", "DUP_CLUSTERS"),
     ("embed_neardup", "EMBED_NEARDUP"),
+    ("embed_dup_clusters", "EMBED_DUP_CLUSTERS"),
     ("ann_cosine_topk", "ANN_COSINE_TOPK"),
     ("pricing_summary", "PRICING_SUMMARY"),
     ("orders_topk_per_customer", "ORDERS_TOPK_PER_CUSTOMER"),
