@@ -228,7 +228,12 @@ def knn_join_adaptive(points: DataFrame, tiles: DataFrame, k: int = 5,
         cand = (pc.join(tc, "ring_cell")
                 .select("point_id", "lon", "lat", "image_id", "level", "ty",
                         "tx", "lon_min", "lat_min", "lon_max", "lat_max")
-                .distinct())
+                .distinct()
+                # each rung's candidate set feeds THREE consumers (count,
+                # top-k, next rung's anti-join chain); materializing it once
+                # stops the ladder re-running earlier rungs' explode+join —
+                # O(rungs) work instead of O(rungs²)
+                .localCheckpoint())
         counts = cand.groupBy("point_id").agg(F.count(F.lit(1)).alias("_n"))
         resolved_ids = (counts if last else counts.filter(F.col("_n") >= k)) \
             .select("point_id")
