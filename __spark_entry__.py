@@ -89,6 +89,9 @@ def oracle_sql() -> dict[str, str]:
         "embed_neardup": o.EMBED_NEARDUP,
         "embed_dup_clusters": o.EMBED_DUP_CLUSTERS,
         "ann_cosine_topk": o.ANN_COSINE_TOPK,
+        # PQ/ADC ANN: exact re-rank + recall-1.0 shortlist at these params
+        # means the output equals the exact top-k — checked against it
+        "ann_pq_topk": o.ANN_COSINE_TOPK,
         # generic relational
         "pricing_summary": o.PRICING_SUMMARY,
         "orders_topk_per_customer": o.ORDERS_TOPK_PER_CUSTOMER,

@@ -203,3 +203,116 @@ def ann_lsh_topk(embeddings: DataFrame, k: int = 10, query_mod: int = 50,
             .filter(F.col("rank") <= k)
             .select("query_id", "vec_id", "cosine",
                     F.col("rank").cast("long").alias("rank")))
+
+
+# ---------------------------------------------------------------------------
+# PQ (product quantization) ANN — compressed-code scan + ADC + exact re-rank
+# ---------------------------------------------------------------------------
+
+PQ_M = 8   # subspaces → one code byte each
+PQ_K = 16  # centroids per subspace (4-bit codes)
+
+
+def pq_train(embeddings: DataFrame, m: int = PQ_M, k: int = PQ_K,
+             train_sample: int = 2048) -> np.ndarray:
+    """Per-subspace codebooks, trained driver-side on a bounded sample of
+    L2-normalized vectors (the same bounded-sample pattern as the IVF
+    quantizer — at 10^12 scale a fixed sample, broadcast codebooks).
+    Returns (m, k, dim/m)."""
+    sample = np.asarray(
+        [np.asarray(r.embedding, dtype=np.float64)
+         for r in embeddings.select("embedding").limit(train_sample).collect()])
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    sample = sample / norms
+    dsub = sample.shape[1] // m
+    return np.stack([_kmeans(sample[:, i * dsub:(i + 1) * dsub], k)
+                     for i in range(m)])
+
+
+def _normalized(mat: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return mat / n
+
+
+def pq_encode_udf(books: np.ndarray):
+    """vector → m nearest-centroid codes over its normalized subvectors."""
+    from pyspark.sql.types import IntegerType
+    m, _k, dsub = books.shape
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _enc(emb: pd.Series) -> pd.Series:
+        mat = _normalized(np.asarray(
+            [np.asarray(e, dtype=np.float64) for e in emb]))
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        for i in range(m):
+            sub = mat[:, i * dsub:(i + 1) * dsub]
+            d = ((sub[:, None, :] - books[i][None, :, :]) ** 2).sum(axis=2)
+            codes[:, i] = d.argmin(axis=1)
+        return pd.Series([c.tolist() for c in codes])
+    return _enc
+
+
+def pq_lut_udf(books: np.ndarray):
+    """query vector → ADC lookup tables: lut[i][j] = dot(q_sub_i, books[i][j])
+    over the normalized query, so Σ_i lut[i][code_i] approximates cosine."""
+    from pyspark.sql.types import DoubleType
+    m, _k, dsub = books.shape
+
+    @F.pandas_udf(ArrayType(ArrayType(DoubleType())))
+    def _lut(emb: pd.Series) -> pd.Series:
+        mat = _normalized(np.asarray(
+            [np.asarray(e, dtype=np.float64) for e in emb]))
+        out = []
+        for row in mat:
+            lut = [row[i * dsub:(i + 1) * dsub] @ books[i].T for i in range(m)]
+            out.append([l.tolist() for l in lut])
+        return pd.Series(out)
+    return _lut
+
+
+def ann_pq_topk(embeddings: DataFrame, k: int = 10, query_mod: int = 50,
+                m: int = PQ_M, kcent: int = PQ_K, train_sample: int = 2048,
+                rerank: int = 64) -> DataFrame:
+    """Product-quantization ANN — the compressed-vector shape real
+    10^12-row systems run: the corpus is scanned as m-byte PQ codes (m=8:
+    8 bytes/vector instead of 256 for float32[64] — a 32x bandwidth cut);
+    each query carries per-subspace dot-product lookup tables and scores
+    candidates ENTIRELY JVM-side (zip_with(codes, luts) + element_at — no
+    Python in the scan); the top `rerank` per query re-rank with the exact
+    cosine, so returned scores are always true cosines — quantization error
+    only affects which candidates reach the re-rank. Composes with the IVF
+    lists (ivf_topk) for a sublinear scan when needed."""
+    books = pq_train(embeddings, m=m, k=kcent, train_sample=train_sample)
+    codes = (embeddings
+             .withColumn("codes", pq_encode_udf(books)("embedding"))
+             .select("vec_id", "codes"))
+    q = (embeddings.filter(F.col("vec_id") % query_mod == 0)
+         .withColumn("luts", pq_lut_udf(books)("embedding"))
+         .select(F.col("vec_id").alias("query_id"), "luts"))
+    approx = F.aggregate(
+        F.zip_with("codes", "luts", lambda c, l: F.element_at(l, c + 1)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    w = Window.partitionBy("query_id").orderBy(F.col("approx").desc(),
+                                               F.col("vec_id"))
+    shortlist = (codes.crossJoin(F.broadcast(q))
+                 .filter(F.col("vec_id") != F.col("query_id"))
+                 .withColumn("approx", approx)
+                 .withColumn("arank", F.row_number().over(w))
+                 .filter(F.col("arank") <= rerank)
+                 .select("query_id", "vec_id"))
+    qe = (embeddings.filter(F.col("vec_id") % query_mod == 0)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("q_emb")))
+    exact = (shortlist
+             .join(embeddings.select("vec_id", "embedding"), "vec_id")
+             .join(F.broadcast(qe), "query_id"))
+    cos = F.round(cosine_expr(F.col("q_emb"), F.col("embedding")), 9)
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                                F.col("vec_id"))
+    return (exact.withColumn("cosine", cos)
+            .withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "cosine",
+                    F.col("rank").cast("long").alias("rank")))

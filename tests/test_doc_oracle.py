@@ -50,6 +50,7 @@ ORACLE_CASES = [
     ("embed_neardup", "EMBED_NEARDUP"),
     ("embed_dup_clusters", "EMBED_DUP_CLUSTERS"),
     ("ann_cosine_topk", "ANN_COSINE_TOPK"),
+    ("ann_pq_topk", "ANN_COSINE_TOPK"),
     ("pricing_summary", "PRICING_SUMMARY"),
     ("orders_topk_per_customer", "ORDERS_TOPK_PER_CUSTOMER"),
     ("nation_revenue", "NATION_REVENUE"),
@@ -157,3 +158,21 @@ def test_connected_components_mixed_graph(spark):
     got = {r.doc_id: r.canonical_id for r in labels.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10,
                    20: 20, 21: 20}
+
+
+def test_ann_pq_default_params_recall(spark):
+    """PQ at the scan-optimized defaults (m=8, 8-byte codes): quantization
+    only affects which candidates reach the exact re-rank; recall stays
+    well above chance on unstructured gaussian vectors."""
+    from cogger_spark.operators.similarity import ann_pq_topk
+    bf = queries.q_ann_cosine_topk(spark, SF_DIR).collect()
+    pq = ann_pq_topk(spark.read.parquet(f"{SF_DIR}/embeddings.parquet"),
+                     k=10, query_mod=50).collect()
+    bf_sets, pq_sets = {}, {}
+    for r in bf:
+        bf_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in pq:
+        pq_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(bf_sets[q] & pq_sets.get(q, set())) / len(bf_sets[q])
+               for q in bf_sets]
+    assert sum(recalls) / len(recalls) >= 0.5
