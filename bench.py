@@ -164,7 +164,7 @@ def main() -> None:
 
     # 4. documents / embeddings / relational at sf_dir scale
     for name in ("minhash_lsh_dedup", "simhash_pairs", "ngram_jaccard_pairs",
-                 "ann_cosine_topk",
+                 "ann_cosine_topk", "ann_pq_topk",
                  "doc_quality", "doc_fingerprint", "pricing_summary",
                  "orders_topk_per_customer", "events_by_type"):
         timed(name, lambda n=name: Q.ALL_QUERIES[n](spark, args.sf_dir).count())

@@ -42,6 +42,9 @@ def main() -> None:
         ("nation_revenue", "broadcast dim join + partial aggregation"),
         ("pricing_summary", "filter pushdown + partial/final agg"),
         ("events_sessionize", "two windows sharing one sort/shuffle"),
+        ("ann_pq_topk",
+         "compressed-code scan: broadcast query LUTs, zip_with+element_at "
+         "scoring JVM-side, exact re-rank of the shortlist"),
     ]
 
     out = ["# PLANS — captured physical plans (explain format)\n",
