@@ -83,6 +83,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": o.DOC_QUALITY,
         "doc_langid": o.DOC_LANGID,
         "doc_fingerprint": o.DOC_FINGERPRINT,
+        "vocab_counts": o.VOCAB_COUNTS,
+        "bigram_counts": o.BIGRAM_COUNTS,
         "exact_dedup_docs": o.EXACT_DEDUP_DOCS,
         "ngram_jaccard_pairs": o.NGRAM_JACCARD_PAIRS,
         "dup_clusters": o.DUP_CLUSTERS,

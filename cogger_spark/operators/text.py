@@ -85,3 +85,39 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.md5(F.encode(F.col("text"), "UTF-8")).alias("md5_fp"),
         rolling.alias("rolling_fp"))
+
+
+def vocab_counts(docs: DataFrame, min_count: int = 1) -> DataFrame:
+    """Corpus vocabulary builder: (token, n_occurrences, n_docs, rank) — the
+    first step of any tokenizer-training pipeline. Shape: explode + two-level
+    hash aggregate (map-side partials collapse the heavy duplication before
+    the shuffle; the exchange carries one row per distinct token per mapper).
+    Deterministic rank: count desc, token asc."""
+    from pyspark.sql import Window
+    tok = (docs.select("doc_id", F.explode(_toks()).alias("token"))
+           .groupBy("token")
+           .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                F.countDistinct("doc_id").alias("n_docs"))
+           .filter(F.col("n_occurrences") >= min_count))
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    return tok.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def bigram_counts(docs: DataFrame, top_n: int = 100) -> DataFrame:
+    """Adjacent-token pair counts — the BPE-merge counting primitive (one
+    merge round of tokenizer training = take the top pair, re-segment,
+    repeat). Pairs are built JVM-side (zip of the token array with its own
+    tail), exploded, and hash-aggregated with map-side partials; top_n keeps
+    the output bounded. Deterministic order: count desc, pair asc."""
+    from pyspark.sql import Window
+    toks = _toks()
+    pairs = F.zip_with(F.slice(toks, 1, F.size(toks) - 1),
+                       F.slice(toks, 2, F.size(toks) - 1),
+                       lambda a, b: F.concat_ws(" ", a, b))
+    agg = (docs.filter(F.size(toks) >= 2)
+           .select(F.explode(pairs).alias("pair"))
+           .groupBy("pair")
+           .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.orderBy(F.col("n").desc(), F.col("pair"))
+    return (agg.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= top_n))

@@ -301,6 +301,34 @@ SELECT doc_id,
 FROM documents
 """
 
+VOCAB_COUNTS = """
+SELECT token, n_occurrences, n_docs,
+  CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token) AS BIGINT) AS rank
+FROM (
+  SELECT tok AS token,
+    CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+)
+"""
+
+BIGRAM_COUNTS = """
+SELECT pair, n, rank FROM (
+  SELECT pair, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, pair) AS BIGINT) AS rank
+  FROM (
+    SELECT unnest(list_transform(
+      generate_series(1, len(string_split(text, ' ')) - 1),
+      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
+      AS pair
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 2
+  )
+  GROUP BY pair
+) WHERE rank <= 100
+"""
+
 EXACT_DEDUP_DOCS = """
 SELECT doc_id, lang, source, n_chars FROM (
   SELECT doc_id, lang, source, n_chars,

@@ -170,6 +170,16 @@ def q_doc_fingerprint(spark, sf_dir):
     return fingerprint(_tbl(spark, sf_dir, "documents"))
 
 
+def q_vocab_counts(spark, sf_dir):
+    from .operators.text import vocab_counts
+    return vocab_counts(_tbl(spark, sf_dir, "documents"))
+
+
+def q_bigram_counts(spark, sf_dir):
+    from .operators.text import bigram_counts
+    return bigram_counts(_tbl(spark, sf_dir, "documents"), top_n=100)
+
+
 def q_exact_dedup_docs(spark, sf_dir):
     from .operators.dedup import exact_dedup
     return exact_dedup(_tbl(spark, sf_dir, "documents")).select(
@@ -244,6 +254,8 @@ DOC_QUERIES = {
     "doc_quality": q_doc_quality,
     "doc_langid": q_doc_langid,
     "doc_fingerprint": q_doc_fingerprint,
+    "vocab_counts": q_vocab_counts,
+    "bigram_counts": q_bigram_counts,
     "exact_dedup_docs": q_exact_dedup_docs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,    # no oracle (LSH buckets)

@@ -42,6 +42,8 @@ ORACLE_CASES = [
     ("doc_quality", "DOC_QUALITY"),
     ("doc_langid", "DOC_LANGID"),
     ("doc_fingerprint", "DOC_FINGERPRINT"),
+    ("vocab_counts", "VOCAB_COUNTS"),
+    ("bigram_counts", "BIGRAM_COUNTS"),
     ("exact_dedup_docs", "EXACT_DEDUP_DOCS"),
     ("ngram_jaccard_pairs", "NGRAM_JACCARD_PAIRS"),
     ("minhash_lsh_dedup", "MINHASH_LSH_DEDUP"),
