@@ -316,3 +316,62 @@ def ann_pq_topk(embeddings: DataFrame, k: int = 10, query_mod: int = 50,
             .filter(F.col("rank") <= k)
             .select("query_id", "vec_id", "cosine",
                     F.col("rank").cast("long").alias("rank")))
+
+
+def ivf_pq_topk(embeddings: DataFrame, k: int = 10, query_mod: int = 50,
+                n_lists: int = 16, nprobe: int = 4,
+                m: int = PQ_M, kcent: int = PQ_K, train_sample: int = 2048,
+                rerank: int = 64) -> DataFrame:
+    """IVF + PQ/ADC — the canonical 10^12-vector architecture, composed from
+    the two scale paths: the corpus is stored as (list_id, m-byte codes);
+    a query probes its nprobe nearest lists (candidates ≈ nprobe/n_lists of
+    the corpus, sublinear) and scores ONLY those candidates with its ADC
+    lookup tables (JVM-side, no float vectors read); the top `rerank`
+    shortlist re-ranks with exact cosine, so returned scores are true
+    cosines. Both quantizers train driver-side on one bounded sample."""
+    sample = np.asarray(
+        [np.asarray(r.embedding, dtype=np.float64)
+         for r in embeddings.select("embedding").limit(train_sample).collect()])
+    coarse = _kmeans(sample, n_lists)
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    nsample = sample / norms
+    dsub = nsample.shape[1] // m
+    books = np.stack([_kmeans(nsample[:, i * dsub:(i + 1) * dsub], kcent)
+                      for i in range(m)])
+
+    corpus = (embeddings
+              .withColumn("lists", ivf_assign_udf(coarse, 1)("embedding"))
+              .withColumn("list_id", F.col("lists")[0])
+              .withColumn("codes", pq_encode_udf(books)("embedding"))
+              .select("vec_id", "list_id", "codes"))
+    q = (embeddings.filter(F.col("vec_id") % query_mod == 0)
+         .withColumn("lists", ivf_assign_udf(coarse, nprobe)("embedding"))
+         .withColumn("luts", pq_lut_udf(books)("embedding"))
+         .withColumn("list_id", F.explode("lists"))
+         .select("list_id", F.col("vec_id").alias("query_id"), "luts"))
+    approx = F.aggregate(
+        F.zip_with("codes", "luts", lambda c, l: F.element_at(l, c + 1)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    w = Window.partitionBy("query_id").orderBy(F.col("approx").desc(),
+                                               F.col("vec_id"))
+    shortlist = (corpus.join(q, "list_id")
+                 .filter(F.col("vec_id") != F.col("query_id"))
+                 .withColumn("approx", approx)
+                 .withColumn("arank", F.row_number().over(w))
+                 .filter(F.col("arank") <= rerank)
+                 .select("query_id", "vec_id"))
+    qe = (embeddings.filter(F.col("vec_id") % query_mod == 0)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("q_emb")))
+    exact = (shortlist
+             .join(embeddings.select("vec_id", "embedding"), "vec_id")
+             .join(F.broadcast(qe), "query_id"))
+    cos = F.round(cosine_expr(F.col("q_emb"), F.col("embedding")), 9)
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                                F.col("vec_id"))
+    return (exact.withColumn("cosine", cos)
+            .withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "cosine",
+                    F.col("rank").cast("long").alias("rank")))

@@ -237,6 +237,11 @@ def q_embed_dup_clusters(spark, sf_dir):
     return embed_dup_clusters(_tbl(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def q_ann_ivf_pq_topk(spark, sf_dir):
+    from .operators.similarity import ivf_pq_topk
+    return ivf_pq_topk(_tbl(spark, sf_dir, "embeddings"), k=10, query_mod=50)
+
+
 def q_dup_clusters(spark, sf_dir):
     """Connected components over the EXACT blocked near-dup pairs (so the
     recursive-CTE oracle sees the same edge set; the LSH-fed variant is
@@ -249,6 +254,7 @@ def q_dup_clusters(spark, sf_dir):
 DOC_QUERIES = {
     "dup_clusters": q_dup_clusters,
     "ann_ivf_topk": q_ann_ivf_topk,               # no oracle (quantizer)
+    "ann_ivf_pq_topk": q_ann_ivf_pq_topk,         # no oracle (doubly approx)
     "doc_token_stats": q_doc_token_stats,
     "doc_token_bpe": q_doc_token_bpe,
     "doc_quality": q_doc_quality,

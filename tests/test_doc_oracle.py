@@ -178,3 +178,20 @@ def test_ann_pq_default_params_recall(spark):
     recalls = [len(bf_sets[q] & pq_sets.get(q, set())) / len(bf_sets[q])
                for q in bf_sets]
     assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_ann_ivf_pq_recall_vs_brute_force(spark):
+    """IVF lists x ADC codes x exact re-rank: the doubly-approximate path
+    still recovers most exact neighbors (bounded below its IVF parent)."""
+    from cogger_spark.operators.similarity import ivf_pq_topk
+    bf = queries.q_ann_cosine_topk(spark, SF_DIR).collect()
+    iq = ivf_pq_topk(spark.read.parquet(f"{SF_DIR}/embeddings.parquet"),
+                     k=10, query_mod=50).collect()
+    bf_sets, iq_sets = {}, {}
+    for r in bf:
+        bf_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in iq:
+        iq_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(bf_sets[q] & iq_sets.get(q, set())) / len(bf_sets[q])
+               for q in bf_sets]
+    assert sum(recalls) / len(recalls) >= 0.3
