@@ -170,6 +170,17 @@ def q_doc_fingerprint(spark, sf_dir):
     return fingerprint(_tbl(spark, sf_dir, "documents"))
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (iterative argmax — the rows-only
+    category the driver allows for iterative algorithms; exactness vs a
+    pure-Python reference is pinned in tests/test_bpe.py)."""
+    from .operators.bpe import bpe_train
+    merges = bpe_train(_tbl(spark, sf_dir, "documents"), n_merges=12)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "merge_rank int, left string, right string")
+
+
 def q_vocab_counts(spark, sf_dir):
     from .operators.text import vocab_counts
     return vocab_counts(_tbl(spark, sf_dir, "documents"))
@@ -261,6 +272,7 @@ DOC_QUERIES = {
     "doc_langid": q_doc_langid,
     "doc_fingerprint": q_doc_fingerprint,
     "vocab_counts": q_vocab_counts,
+    "bpe_merges": q_bpe_merges,           # no oracle (iterative)
     "bigram_counts": q_bigram_counts,
     "exact_dedup_docs": q_exact_dedup_docs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
