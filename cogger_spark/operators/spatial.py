@@ -218,7 +218,11 @@ def knn_join_adaptive(points: DataFrame, tiles: DataFrame, k: int = 5,
     the KNN_ADAPTIVE SQL oracle. Output adds the chosen `ring` per point."""
     if not rings:
         raise ValueError("knn_join_adaptive: rings ladder must be non-empty")
-    tc = with_tile_cells(tiles, res).withColumnRenamed("cell_id", "ring_cell")
+    # the tile-cover relation is joined once per rung — materialize it once
+    # instead of re-running the cover UDF per rung
+    tc = (with_tile_cells(tiles, res)
+          .withColumnRenamed("cell_id", "ring_cell")
+          .localCheckpoint())
     out = None
     remaining = points
     for i, r in enumerate(rings):
