@@ -42,9 +42,16 @@ def decode_image(data: bytes, w: int, h: int, fmt: str, bands: int) -> np.ndarra
         buf = np.frombuffer(data, dtype=np.uint8)
     elif fmt == DEFLATE:
         buf = np.frombuffer(zlib.decompress(data), dtype=np.uint8)
-    elif fmt in ("png", "jpeg"):
+    elif fmt == "png":
+        from .png import png_decode
+        px = png_decode(data)
+        if px.shape[:2] != (h, w) or px.shape[2] != bands:
+            raise ValueError(
+                f"png dims {px.shape} != expected {(h, w, bands)}")
+        return px
+    elif fmt == "jpeg":
         raise NotImplementedError(
-            f"{fmt} decode requires an image codec library not present in this "
+            "jpeg decode requires an image codec library not present in this "
             "environment; plumbing (schema/batching) is exercised with raw/deflate")
     else:
         raise ValueError(f"unknown format {fmt!r}")

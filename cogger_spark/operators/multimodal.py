@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 
 from ..functions.imagecodecs import decode_image
 
-_STUB_FMTS = {"png", "jpeg", "webp", "mp3", "aac", "h264", "av1"}
+_STUB_FMTS = {"jpeg", "webp", "mp3", "aac", "h264", "av1"}
 
 
 def _decode(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
@@ -32,6 +32,9 @@ def _decode(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     if fmt in _STUB_FMTS:
         raise NotImplementedError(
             f"{fmt} requires a codec library absent from this environment")
+    if fmt == "png":  # real pure-Python codec (functions/png.py)
+        from ..functions.png import png_decode
+        return png_decode(data)
     buf = zlib.decompress(data) if fmt == "deflate" else data
     k = len(buf) // (w * h)
     return decode_image(buf, w, h, "raw", k)
