@@ -50,9 +50,12 @@ def decode_image(data: bytes, w: int, h: int, fmt: str, bands: int) -> np.ndarra
                 f"png dims {px.shape} != expected {(h, w, bands)}")
         return px
     elif fmt == "jpeg":
-        raise NotImplementedError(
-            "jpeg decode requires an image codec library not present in this "
-            "environment; plumbing (schema/batching) is exercised with raw/deflate")
+        from .jpeg import jpeg_decode
+        px = jpeg_decode(data)
+        if px.shape[:2] != (h, w) or px.shape[2] != bands:
+            raise ValueError(
+                f"jpeg dims {px.shape} != expected {(h, w, bands)}")
+        return px
     else:
         raise ValueError(f"unknown format {fmt!r}")
     if buf.size != w * h * bands:

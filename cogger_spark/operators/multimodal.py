@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 
 from ..functions.imagecodecs import decode_image
 
-_STUB_FMTS = {"jpeg", "webp", "mp3", "aac", "h264", "av1"}
+_STUB_FMTS = {"webp", "mp3", "aac", "h264", "av1"}
 
 
 def _decode(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
@@ -35,6 +35,9 @@ def _decode(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     if fmt == "png":  # real pure-Python codec (functions/png.py)
         from ..functions.png import png_decode
         return png_decode(data)
+    if fmt == "jpeg":  # real pure-Python baseline decoder (functions/jpeg.py)
+        from ..functions.jpeg import jpeg_decode
+        return jpeg_decode(data)
     buf = zlib.decompress(data) if fmt == "deflate" else data
     k = len(buf) // (w * h)
     return decode_image(buf, w, h, "raw", k)

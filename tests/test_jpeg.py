@@ -1,0 +1,113 @@
+"""Baseline JPEG decoder vs the JVM's javax.imageio: ImageIO encodes (the
+standard libjpeg-style baseline writer, 4:2:0 chroma by default), both sides
+decode the SAME bytes, and our pixels must sit within the north rule's
+PSNR >= 40 dB of ImageIO's own reconstruction (the residual is IDCT rounding
+and chroma-upsampling choice — both decoders implement T.81)."""
+
+import numpy as np
+import pytest
+
+from cogger_spark.functions.jpeg import jpeg_decode
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 10 * np.log10(255.0 ** 2 / mse)
+
+
+@pytest.fixture(scope="module")
+def jio(spark):
+    jvm = spark._jvm
+    gateway = spark.sparkContext._gateway
+
+    def encode_rgb(px):
+        h, w = px.shape[:2]
+        img = jvm.java.awt.image.BufferedImage(w, h, 1)  # TYPE_INT_RGB
+        argb = ((px[:, :, 0].astype(np.int64) << 16)
+                | (px[:, :, 1].astype(np.int64) << 8)
+                | px[:, :, 2].astype(np.int64)) | (0xFF << 24)
+        arr = gateway.new_array(jvm.int, h * w)
+        flat = argb.reshape(-1)
+        for i in range(h * w):
+            v = int(flat[i])
+            arr[i] = v - (1 << 32) if v >= (1 << 31) else v
+        img.setRGB(0, 0, w, h, arr, 0, w)
+        bos = jvm.java.io.ByteArrayOutputStream()
+        assert jvm.javax.imageio.ImageIO.write(img, "jpg", bos)
+        return bytes(bos.toByteArray())
+
+    def decode_rgb(data):
+        bis = jvm.java.io.ByteArrayInputStream(bytearray(data))
+        img = jvm.javax.imageio.ImageIO.read(bis)
+        h, w = img.getHeight(), img.getWidth()
+        rgb = np.array(img.getRGB(0, 0, w, h, None, 0, w),
+                       dtype=np.int64).reshape(h, w)
+        return np.stack([(rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF],
+                        axis=2).astype(np.uint8)
+
+    return encode_rgb, decode_rgb
+
+
+def _smooth(h, w):
+    y, x = np.mgrid[0:h, 0:w]
+    r = (127 + 80 * np.sin(x / 17.0) + 40 * np.cos(y / 11.0))
+    g = (127 + 60 * np.cos((x + y) / 23.0))
+    b = (127 + 70 * np.sin(y / 13.0) - 30 * np.sin(x / 29.0))
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+
+
+def _busy(h, w):
+    rng = np.random.RandomState(5)
+    base = _smooth(h, w).astype(np.int32)
+    base[h // 2:, :] += rng.randint(-40, 40, (h - h // 2, w, 3))
+    return np.clip(base, 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("dims", [(64, 80), (57, 71), (16, 16), (40, 120)])
+def test_jpeg_decode_psnr_vs_imageio(jio, dims):
+    """Both decoders reconstruct ImageIO's baseline 4:2:0 JPEGs nearly
+    identically (incl. non-multiple-of-16 dims → partial MCUs)."""
+    encode_rgb, decode_rgb = jio
+    h, w = dims
+    data = encode_rgb(_smooth(h, w))
+    ours = jpeg_decode(data)
+    ref = decode_rgb(data)
+    assert ours.shape == ref.shape == (h, w, 3)
+    assert _psnr(ours, ref) >= 40.0, _psnr(ours, ref)
+
+
+def test_jpeg_decode_busy_content(jio):
+    encode_rgb, decode_rgb = jio
+    data = encode_rgb(_busy(48, 64))
+    p = _psnr(jpeg_decode(data), decode_rgb(data))
+    assert p >= 34.0, p  # chroma-upsampling choice differs at sharp edges
+
+
+def test_jpeg_reconstruction_matches_source(jio):
+    """End-to-end lossy invariant (north rule shape): our decode must
+    reconstruct the SOURCE at least as well as ImageIO's own decode does —
+    source-PSNR is bounded by the ENCODER's default quality (0.75 → ~39 dB
+    here), so the decoder criterion is parity with the reference decoder."""
+    encode_rgb, decode_rgb = jio
+    src = _smooth(64, 64)
+    data = encode_rgb(src)
+    ours = _psnr(jpeg_decode(data), src)
+    theirs = _psnr(decode_rgb(data), src)
+    assert ours >= theirs - 0.25, (ours, theirs)
+    assert ours >= 35.0, ours
+
+
+def test_multimodal_jpeg_path(spark, jio):
+    """fmt='jpeg' flows through the multimodal feature kernel for real."""
+    from cogger_spark.operators.multimodal import image_features
+    encode_rgb, _ = jio
+    src = _smooth(32, 48)
+    df = spark.createDataFrame(
+        [("img_jpeg", encode_rgb(src), 48, 32, "jpeg")],
+        "image_id string, bytes binary, w int, h int, fmt string")
+    row = image_features(df).collect()[0]
+    assert row.n_bands == 3
+    want = np.concatenate([src.mean(axis=(0, 1)), src.std(axis=(0, 1))])
+    assert np.allclose(np.array(row.features), want, atol=3.0)
