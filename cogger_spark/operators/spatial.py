@@ -361,7 +361,7 @@ def tile_pixel_stats(images: DataFrame, tile: int = 512) -> DataFrame:
     padding excluded): sum/min/max/count per tile, all bands pooled.
     One narrow mapInPandas stage; emits no payloads (stats only), so the
     shuffle to any downstream join moves a few longs per tile."""
-    from ..operators.tiling import infer_planes
+    from ..operators.tiling import decode_any
 
     schema = ("image_id string, ty int, tx int, px_count long, "
               "px_sum long, px_min int, px_max int")
@@ -373,10 +373,8 @@ def tile_pixel_stats(images: DataFrame, tile: int = 512) -> DataFrame:
                                    "px_sum", "px_min", "px_max")}
             for r in pdf.itertuples(index=False):
                 w, h = int(r.w), int(r.h)
-                buf = zlib.decompress(r.bytes) if r.fmt == "deflate" else r.bytes
-                nplanes, mask = infer_planes(len(buf), w, h)
-                px = np.frombuffer(buf, dtype=np.uint8) \
-                    .reshape(h, w, nplanes + (1 if mask else 0))[:, :, :nplanes]
+                full, nplanes, mask = decode_any(r.bytes, w, h, r.fmt)
+                px = full[:, :, :nplanes]
                 nty, ntx = -(-h // tile), -(-w // tile)
                 for ty in range(nty):
                     for tx in range(ntx):

@@ -74,9 +74,8 @@ def strips_level0(images: DataFrame, tile: int = 512,
         for pdf in batches:
             for r in pdf.itertuples(index=False):
                 w, h = int(r.w), int(r.h)
-                buf = zlib.decompress(r.bytes) if r.fmt == "deflate" else r.bytes
-                nplanes, mask = infer_planes(len(buf), w, h)
-                px = decode_image(buf, w, h, "raw", nplanes + (1 if mask else 0))
+                from .tiling import decode_any
+                px, nplanes, mask = decode_any(r.bytes, w, h, r.fmt)
                 plan = _plan(w, h, tile, target_px)
                 for sid, (top, sh) in enumerate(plan[0]):
                     payload = zlib.compress(px[top:top + sh].tobytes(), 1)

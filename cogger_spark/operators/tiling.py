@@ -82,6 +82,31 @@ def infer_planes(nbytes: int, w: int, h: int) -> tuple[int, bool]:
     return k, False
 
 
+def decode_any(data: bytes, w: int, h: int, fmt: str):
+    """Decode ANY supported input format into (px, nplanes, has_mask):
+    raw/deflate use the buffer-size plane convention (2/5 planes = trailing
+    mask); png/jpeg decode through the pure-Python codecs (no mask plane —
+    those containers carry alpha as a band instead). The single ingest
+    decode shared by every pixel kernel (tiling, strips, stats, fused)."""
+    import zlib
+    if fmt == "png":
+        from ..functions.png import png_decode
+        px = png_decode(data)
+        if px.shape[:2] != (h, w):
+            raise ValueError(f"png dims {px.shape[:2]} != {(h, w)}")
+        return px, px.shape[2], False
+    if fmt == "jpeg":
+        from ..functions.jpeg import jpeg_decode
+        px = jpeg_decode(data)
+        if px.shape[:2] != (h, w):
+            raise ValueError(f"jpeg dims {px.shape[:2]} != {(h, w)}")
+        return px, px.shape[2], False
+    buf = zlib.decompress(data) if fmt == "deflate" else data
+    nplanes, mask = infer_planes(len(buf), w, h)
+    px = decode_image(buf, w, h, "raw", nplanes + (1 if mask else 0))
+    return px, nplanes, mask
+
+
 def _decode_and_cut(data: bytes, w: int, h: int, fmt: str, tile: int,
                     compression: str, min_overview_size: int = 2):
     """Decode one image, build its pyramid, cut + compress every tile.
@@ -90,10 +115,7 @@ def _decode_and_cut(data: bytes, w: int, h: int, fmt: str, tile: int,
     semantics shared by the tile-relation kernel (tile_images) and the fused
     single-pass kernel (tile_and_assemble), so both are byte-identical by
     construction."""
-    import zlib
-    buf = zlib.decompress(data) if fmt == "deflate" else data
-    nplanes, mask = infer_planes(len(buf), w, h)
-    px = decode_image(buf, w, h, "raw", nplanes + (1 if mask else 0))
+    px, nplanes, mask = decode_any(data, w, h, fmt)
     levels = build_pyramid(px, tile, min_overview_size)
     level_dims = {}
     payloads = {}

@@ -124,3 +124,26 @@ def test_multimodal_png_path(spark):
     assert row.n_bands == 3
     want = np.concatenate([px.mean(axis=(0, 1)), px.std(axis=(0, 1))])
     assert np.allclose(np.array(row.features), want)
+
+
+def test_png_images_through_cog_pipeline(spark):
+    """png-format rows tile into COGs whose decoded tiles equal the source
+    pixels exactly — any-format ingest through the shared decode_any."""
+    from cogger_spark.operators.tiling import cog_pipeline
+    from cogger_spark.tiff import assemble_ifd_tree, parse_tiff
+    from cogger_spark.tiff.lzw import decode_tile
+    px = _pattern(300, 520, 3, seed=21)
+    df = spark.createDataFrame(
+        [("img_00000007", png_encode(px), 520, 300, "png")],
+        "image_id string, bytes binary, w int, h int, fmt string")
+    blob = bytes(cog_pipeline(df, tile=256).collect()[0].cog)
+    main = assemble_ifd_tree(parse_tiff(blob).ifds)
+    assert (main.image_width, main.image_height) == (520, 300)
+    got = np.zeros((512, 768, 3), np.uint8)  # padded tile canvas
+    for ty in range(main.n_tiles_y()):
+        for tx in range(main.n_tiles_x()):
+            raw = decode_tile(main.load_tile(main.tile_idx(tx, ty, 0)),
+                              main.compression, main.predictor, 256, 256, 3)
+            got[ty * 256:(ty + 1) * 256, tx * 256:(tx + 1) * 256] = \
+                np.frombuffer(raw, np.uint8).reshape(256, 256, 3)
+    assert np.array_equal(got[:300, :520], px)
