@@ -96,8 +96,10 @@ def test_multimodal_image_features_and_resize(spark, smoke_images):
 
 def test_multimodal_stub_raises(spark):
     from cogger_spark.operators.multimodal import image_features
+    # png/jpeg are REAL now (functions/png.py, functions/jpeg.py); the
+    # declared stubs are the container/audio/video codecs
     df = spark.createDataFrame(
-        [("x", b"\x00", 1, 1, "png")],
+        [("x", b"\x00", 1, 1, "webp")],
         "image_id string, bytes binary, w int, h int, fmt string")
     with pytest.raises(Exception, match="codec library"):
         image_features(df).collect()
