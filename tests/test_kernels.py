@@ -24,9 +24,14 @@ def test_codec_roundtrip():
         assert np.array_equal(px, back)
 
 
-def test_png_stub_raises():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"", 1, 1, "png", 1)
+def test_png_decode_is_real_now():
+    """png is a real codec (functions/png.py) — decode_image round-trips it;
+    corrupt bytes fail loudly rather than raising NotImplementedError."""
+    from cogger_spark.functions.png import png_encode
+    px = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    assert np.array_equal(decode_image(png_encode(px), 2, 2, "png", 3), px)
+    with pytest.raises(ValueError):
+        decode_image(b"not a png", 1, 1, "png", 1)
 
 
 def test_downsample_even():
