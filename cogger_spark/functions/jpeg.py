@@ -197,6 +197,11 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
                  restart_interval) -> np.ndarray:
     h, w = frame["h"], frame["w"]
     comps = [c for c, _, _ in scan]
+    if len(scan) == 1:
+        # T.81 single-component scans are NON-interleaved: one 8x8 data unit
+        # per MCU in raster order, whatever the SOF sampling factors say
+        comps = [dict(comps[0], hs=1, vs=1)]
+        scan = [(comps[0], scan[0][1], scan[0][2])]
     hmax = max(c["hs"] for c in comps)
     vmax = max(c["vs"] for c in comps)
     mcux = -(-w // (8 * hmax))

@@ -111,3 +111,37 @@ def test_multimodal_jpeg_path(spark, jio):
     assert row.n_bands == 3
     want = np.concatenate([src.mean(axis=(0, 1)), src.std(axis=(0, 1))])
     assert np.allclose(np.array(row.features), want, atol=3.0)
+
+
+def test_jpeg_grayscale(spark, jio):
+    """Single-component scan: ImageIO-encoded grayscale JPEG decodes here
+    within 40 dB of ImageIO's own reconstruction."""
+    jvm = spark._jvm
+    gateway = spark.sparkContext._gateway
+    h, w = 33, 47
+    g = np.clip(127 + 80 * np.sin(np.arange(w)[None, :] / 9.0)
+                + 40 * np.cos(np.arange(h)[:, None] / 7.0), 0, 255).astype(np.uint8)
+    TYPE_BYTE_GRAY = 10
+    img = jvm.java.awt.image.BufferedImage(w, h, TYPE_BYTE_GRAY)
+    arr = gateway.new_array(jvm.int, h * w)
+    flat = g.reshape(-1)
+    for i in range(h * w):
+        v = int(flat[i])
+        argb = (0xFF << 24) | (v << 16) | (v << 8) | v
+        arr[i] = argb - (1 << 32) if argb >= (1 << 31) else argb
+    img.setRGB(0, 0, w, h, arr, 0, w)
+    bos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(img, "jpg", bos)
+    data = bytes(bos.toByteArray())
+    ours = jpeg_decode(data)
+    assert ours.shape == (h, w, 1)
+    bis = jvm.java.io.ByteArrayInputStream(bytearray(data))
+    ref_img = jvm.javax.imageio.ImageIO.read(bis)
+    # compare RAW decoded samples (getRaster) — TYPE_BYTE_GRAY is a LINEAR
+    # color space in Java, so getRGB would add a linear→sRGB conversion the
+    # JPEG bytes don't contain
+    out_arr = gateway.new_array(jvm.int, h * w)
+    ref_img.getRaster().getSamples(0, 0, w, h, 0, out_arr)
+    ref = np.array(out_arr, dtype=np.int64).reshape(h, w)[:, :, None]
+    assert _psnr(ours, ref.astype(np.uint8)) >= 40.0, \
+        _psnr(ours, ref.astype(np.uint8))
