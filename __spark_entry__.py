@@ -94,6 +94,14 @@ def oracle_sql() -> dict[str, str]:
         # PQ/ADC ANN: exact re-rank + recall-1.0 shortlist at these params
         # means the output equals the exact top-k — checked against it
         "ann_pq_topk": o.ANN_COSINE_TOPK,
+        # IVF at nprobe=n_lists probes every list (candidates = full corpus),
+        # and IVF+PQ additionally keeps every candidate through the exact
+        # re-rank (rerank > corpus) — both outputs EQUAL the exact top-k, so
+        # the brute-force oracle is an exact check for these registrations
+        "ann_ivf_topk": o.ANN_COSINE_TOPK,
+        "ann_ivf_pq_topk": o.ANN_COSINE_TOPK,
+        # BPE training: 12 merge rounds unrolled as chained materialized CTEs
+        "bpe_merges": o.BPE_MERGES,
         # generic relational
         "pricing_summary": o.PRICING_SUMMARY,
         "orders_topk_per_customer": o.ORDERS_TOPK_PER_CUSTOMER,
@@ -110,7 +118,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": o.SIMHASH_PAIRS,
         # assembled COG tile/level counts vs the closed-form manifest
         "cog_assembly_summary": o.COG_ASSEMBLY_SUMMARY,
-        # no oracle (genuinely approximate, quantizer/hyperplane state not
-        # SQL-expressible): ann_lsh_topk, ann_ivf_topk — rows-only checks;
-        # recall vs the exact baseline is asserted in pytest instead.
+        # no oracle (genuinely approximate hyperplane buckets, not
+        # SQL-expressible): ann_lsh_topk — rows-only check; recall vs the
+        # exact baseline is asserted in pytest instead.
     }

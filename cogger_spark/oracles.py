@@ -689,3 +689,53 @@ reach(node, label) AS (
 SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS canonical_id
 FROM reach GROUP BY node
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE training oracle: the 12-round iterative argmax, unrolled into chained
+# materialized CTEs (mirror of operators/bpe.py::bpe_train — same word split,
+# char-level initial symbols, weighted overlapping pair counts, (count DESC,
+# "a b" ASC) tiebreak, and greedy left-to-right non-overlapping merge; the
+# merge is a list_reduce over singleton lists, correct because a merged
+# symbol a||b can never re-match the left symbol a within the same round).
+# ---------------------------------------------------------------------------
+
+
+def _bpe_merges_sql(n_merges: int = 12) -> str:
+    parts = ["""w AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+  WHERE len(word) > 0 GROUP BY word
+),
+v0 AS MATERIALIZED (SELECT cnt, string_split(word, '') AS syms FROM w)"""]
+    for i in range(n_merges):
+        parts.append(f"""t{i} AS MATERIALIZED (
+  SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b
+  FROM (
+    SELECT pair, SUM(cnt) AS n
+    FROM (SELECT cnt, UNNEST(list_transform(generate_series(1, len(syms)-1),
+                 k -> syms[k] || ' ' || syms[k+1])) AS pair
+          FROM v{i} WHERE len(syms) > 1)
+    GROUP BY pair HAVING SUM(cnt) >= 2
+    ORDER BY n DESC, pair ASC LIMIT 1
+  )
+)""")
+        if i + 1 < n_merges:
+            parts.append(f"""v{i + 1} AS MATERIALIZED (
+  SELECT cnt,
+    CASE WHEN len(syms) < 2 THEN syms ELSE
+      list_reduce(list_transform(syms, s -> [s]),
+        (acc, x) -> CASE WHEN acc[len(acc)] = t.a AND x[1] = t.b
+                    THEN list_concat(acc[1:len(acc)-1], [acc[len(acc)] || x[1]])
+                    ELSE list_concat(acc, x) END)
+    END AS syms
+  FROM v{i}, t{i} t
+)""")
+    selects = "\nUNION ALL\n".join(
+        f'SELECT CAST({i} AS INTEGER) AS merge_rank, a AS "left", b AS "right" FROM t{i}'
+        for i in range(n_merges))
+    return ("WITH " + ",\n".join(parts)
+            + "\nSELECT * FROM (\n" + selects + "\n) ORDER BY merge_rank")
+
+
+BPE_MERGES = _bpe_merges_sql(12)

@@ -171,9 +171,10 @@ def q_doc_fingerprint(spark, sf_dir):
 
 
 def q_bpe_merges(spark, sf_dir):
-    """Distributed BPE tokenizer training (iterative argmax — the rows-only
-    category the driver allows for iterative algorithms; exactness vs a
-    pure-Python reference is pinned in tests/test_bpe.py)."""
+    """Distributed BPE tokenizer training. Checked against a DuckDB oracle
+    that unrolls the 12 merge rounds as chained materialized CTEs
+    (oracles.BPE_MERGES) — same pair weighting, tiebreak, and greedy merge;
+    exactness vs a pure-Python reference is also pinned in tests/test_bpe.py."""
     from .operators.bpe import bpe_train
     merges = bpe_train(_tbl(spark, sf_dir, "documents"), n_merges=12)
     return spark.createDataFrame(
@@ -239,8 +240,15 @@ def q_ann_pq_topk(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN registered at exhaustive parameters (nprobe = n_lists): every
+    query probes every inverted list, so the candidate set is the full corpus
+    and the exact-cosine re-rank makes the output EQUAL the exact top-k — the
+    brute-force oracle is therefore a valid exact check (same trick as
+    ann_pq_topk). Sub-linear behavior (nprobe < n_lists) plus its recall is
+    pinned separately in tests/test_similarity.py."""
     from .operators.similarity import ivf_topk
-    return ivf_topk(_tbl(spark, sf_dir, "embeddings"), k=10, query_mod=50)
+    return ivf_topk(_tbl(spark, sf_dir, "embeddings"), k=10, query_mod=50,
+                    n_lists=16, nprobe=16)
 
 
 def q_embed_dup_clusters(spark, sf_dir):
@@ -249,8 +257,15 @@ def q_embed_dup_clusters(spark, sf_dir):
 
 
 def q_ann_ivf_pq_topk(spark, sf_dir):
+    """IVF+PQ registered at exhaustive parameters: nprobe = n_lists scans
+    every list and rerank = 4096 (> any test corpus) keeps EVERY candidate in
+    the exact-cosine re-rank, so PQ quantization error cannot change the
+    output — it equals the exact top-k and the brute-force oracle applies.
+    The sublinear/compressed configuration's recall is pinned in
+    tests/test_similarity.py."""
     from .operators.similarity import ivf_pq_topk
-    return ivf_pq_topk(_tbl(spark, sf_dir, "embeddings"), k=10, query_mod=50)
+    return ivf_pq_topk(_tbl(spark, sf_dir, "embeddings"), k=10, query_mod=50,
+                       n_lists=16, nprobe=16, rerank=4096)
 
 
 def q_dup_clusters(spark, sf_dir):
@@ -264,15 +279,15 @@ def q_dup_clusters(spark, sf_dir):
 
 DOC_QUERIES = {
     "dup_clusters": q_dup_clusters,
-    "ann_ivf_topk": q_ann_ivf_topk,               # no oracle (quantizer)
-    "ann_ivf_pq_topk": q_ann_ivf_pq_topk,         # no oracle (doubly approx)
+    "ann_ivf_topk": q_ann_ivf_topk,       # exhaustive params -> exact oracle
+    "ann_ivf_pq_topk": q_ann_ivf_pq_topk,  # exhaustive params -> exact oracle
     "doc_token_stats": q_doc_token_stats,
     "doc_token_bpe": q_doc_token_bpe,
     "doc_quality": q_doc_quality,
     "doc_langid": q_doc_langid,
     "doc_fingerprint": q_doc_fingerprint,
     "vocab_counts": q_vocab_counts,
-    "bpe_merges": q_bpe_merges,           # no oracle (iterative)
+    "bpe_merges": q_bpe_merges,           # unrolled recursive-CTE oracle
     "bigram_counts": q_bigram_counts,
     "exact_dedup_docs": q_exact_dedup_docs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
