@@ -42,16 +42,18 @@ _B = np.array([(i * i + i + 41) * 0xC2B2AE3D27D4EB4F % _P for i in range(MINHASH
 def exact_dedup(docs: DataFrame, key: str = "text") -> DataFrame:
     """Keep the smallest doc_id per distinct text (exact hash dedup).
 
-    Scale shape: a hash aggregate keyed on md5(text) — NOT a window over the
-    raw text. The exchange key is a 16-byte digest instead of the payload
-    (at 100 TB the text column IS the data; shuffling it as the partition key
-    doubles the job), and `min_by` partial aggregation collapses duplicates
-    map-side, so the shuffle moves ~one row per distinct text per mapper.
-    A 128-bit key makes cross-text collisions negligible (~2^-64 even at
-    10^12 rows); same rows as the text-keyed window, verified by the
+    Scale shape: a hash aggregate keyed on sha2-256(text) — NOT a window
+    over the raw text. The exchange key is a fixed-size digest instead of
+    the payload (at 100 TB the text column IS the data; shuffling it as the
+    partition key doubles the job), and `min_by` partial aggregation
+    collapses duplicates map-side, so the shuffle moves ~one row per
+    distinct text per mapper. SHA-256 rather than md5: web-scale corpora are
+    the adversarial setting, and md5's practical chosen-prefix collisions
+    would let crafted distinct documents dedupe into one; no collision is
+    known for SHA-256. Same rows as the text-keyed window, verified by the
     exact_dedup_docs oracle."""
     row = F.struct(*[F.col(c) for c in docs.columns])
-    return (docs.groupBy(F.md5(F.col(key).cast("binary")).alias("_k"))
+    return (docs.groupBy(F.sha2(F.col(key).cast("binary"), 256).alias("_k"))
             .agg(F.min_by(row, F.col("doc_id")).alias("_r"))
             .select("_r.*"))
 

@@ -209,10 +209,13 @@ def knn_join_adaptive(points: DataFrame, tiles: DataFrame, k: int = 5,
     regions still return k rows (up to the final rung) while the common case
     never pays the wide explode (ring r is (2r+1)² cells per point).
 
-    The whole ladder is one lazy DAG (the per-rung 'remaining' set is an
-    anti-join, no driver actions), len(rings) equi-joins total, and each rung
-    only re-joins the points the previous rung could not satisfy — at scale
-    the escalation population shrinks geometrically. Deterministic semantics
+    The ladder runs len(rings) equi-joins total, and each rung only re-joins
+    the points the previous rung could not satisfy (an anti-join on the
+    resolved set) — at scale the escalation population shrinks geometrically.
+    Each rung's candidate set is materialized EAGERLY (localCheckpoint) by
+    design: it feeds three consumers (count, top-k, next rung's anti-join),
+    so materializing once keeps the ladder O(rungs) instead of O(rungs²) —
+    building the result runs len(rings)+1 jobs at call time. Deterministic semantics
     (chosen rung = first with >= k distinct candidate tiles; top-k by squared
     center distance with (image_id, ty, tx) tiebreak) are exactly mirrored by
     the KNN_ADAPTIVE SQL oracle. Output adds the chosen `ring` per point."""
@@ -356,43 +359,91 @@ def salted_count_by(df: DataFrame, key: str, salt_buckets: int = 32) -> DataFram
 # ---------------------------------------------------------------------------
 
 
-def tile_pixel_stats(images: DataFrame, tile: int = 512) -> DataFrame:
-    """Level-0 tiles with real pixel statistics over the VALID region (edge
-    padding excluded): sum/min/max/count per tile, all bands pooled.
-    One narrow mapInPandas stage; emits no payloads (stats only), so the
-    shuffle to any downstream join moves a few longs per tile."""
-    from ..operators.tiling import decode_any
+_PIXEL_STATS_SCHEMA = ("image_id string, ty int, tx int, px_count long, "
+                       "px_sum long, px_min int, px_max int")
 
-    schema = ("image_id string, ty int, tx int, px_count long, "
-              "px_sum long, px_min int, px_max int")
+
+def _block_stats_rows(out: dict, image_id: str, px, tile: int, ty0: int) -> None:
+    """Append per-tile stats of one pixel slab (rows tile-aligned at ty0)."""
+    h, w = px.shape[0], px.shape[1]
+    for ty in range(-(-h // tile)):
+        for tx in range(-(-w // tile)):
+            block = px[ty * tile:(ty + 1) * tile, tx * tile:(tx + 1) * tile]
+            out["image_id"].append(image_id)
+            out["ty"].append(ty0 + ty)
+            out["tx"].append(tx)
+            out["px_count"].append(int(block.size))
+            out["px_sum"].append(int(block.sum(dtype=np.int64)))
+            out["px_min"].append(int(block.min()))
+            out["px_max"].append(int(block.max()))
+
+
+def tile_pixel_stats(images: DataFrame, tile: int = 512,
+                     split_threshold_px: int | None = None,
+                     target_px: int = 1024 * 1024,
+                     probe: tuple | None = None) -> DataFrame:
+    """Level-0 tiles with real pixel statistics over the VALID region (edge
+    padding excluded): sum/min/max/count per tile, all bands pooled (mask
+    plane excluded). Emits no payloads (stats only), so the shuffle to any
+    downstream join moves a few longs per tile.
+
+    Size-routed like cog_pipeline: images at or below `split_threshold_px`
+    take one narrow whole-image mapInPandas stage; oversized images route
+    through the level-0 strip relation (strips_level0 — bounded task memory,
+    tile-aligned strip tops) and compute the same stats per strip, so a
+    gigapixel raster never materializes whole in a task. Both paths produce
+    identical rows (strip tops are tile-aligned, so every tile lives in
+    exactly one strip; asserted in tests). `probe` accepts a precomputed
+    route_probe() result for derived input frames."""
+    from .tiling import (SPLIT_THRESHOLD_PX, _px_expr, decode_any,
+                         ensure_fanout, route_probe)
+
+    if split_threshold_px is None:
+        split_threshold_px = SPLIT_THRESHOLD_PX
 
     def kernel(batches):
-        import zlib
         for pdf in batches:
             out = {k: [] for k in ("image_id", "ty", "tx", "px_count",
                                    "px_sum", "px_min", "px_max")}
             for r in pdf.itertuples(index=False):
                 w, h = int(r.w), int(r.h)
                 full, nplanes, mask = decode_any(r.bytes, w, h, r.fmt)
-                px = full[:, :, :nplanes]
-                nty, ntx = -(-h // tile), -(-w // tile)
-                for ty in range(nty):
-                    for tx in range(ntx):
-                        block = px[ty * tile:(ty + 1) * tile,
-                                   tx * tile:(tx + 1) * tile]
-                        out["image_id"].append(r.image_id)
-                        out["ty"].append(ty)
-                        out["tx"].append(tx)
-                        out["px_count"].append(int(block.size))
-                        out["px_sum"].append(int(block.sum(dtype=np.int64)))
-                        out["px_min"].append(int(block.min()))
-                        out["px_max"].append(int(block.max()))
+                _block_stats_rows(out, r.image_id, full[:, :, :nplanes],
+                                  tile, 0)
             yield pd.DataFrame(out)
 
-    from .tiling import ensure_fanout
-    images = ensure_fanout(images)
-    return images.select("image_id", "bytes", "w", "h", "fmt") \
-                 .mapInPandas(kernel, schema=schema)
+    def direct(df: DataFrame) -> DataFrame:
+        df = ensure_fanout(df)
+        return df.select("image_id", "bytes", "w", "h", "fmt") \
+                 .mapInPandas(kernel, schema=_PIXEL_STATS_SCHEMA)
+
+    px = _px_expr()
+    has_small, has_big, _dims = probe or route_probe(images,
+                                                     split_threshold_px)
+    if not has_big:
+        return direct(images)
+
+    def strip_kernel(batches):
+        import zlib
+        for pdf in batches:
+            out = {k: [] for k in ("image_id", "ty", "tx", "px_count",
+                                   "px_sum", "px_min", "px_max")}
+            for r in pdf.itertuples(index=False):
+                nplanes = int(r.planes)
+                total = nplanes + (1 if bool(r.has_mask) else 0)
+                slab = np.frombuffer(zlib.decompress(r.payload), dtype=np.uint8) \
+                    .reshape(int(r.strip_h), int(r.level_w), total)
+                _block_stats_rows(out, r.image_id, slab[:, :, :nplanes],
+                                  tile, int(r.top_row) // tile)
+            yield pd.DataFrame(out)
+
+    from .strips import strips_level0
+    big = strips_level0(images.filter(px > split_threshold_px),
+                        tile=tile, target_px=target_px) \
+        .mapInPandas(strip_kernel, schema=_PIXEL_STATS_SCHEMA)
+    if not has_small:
+        return big
+    return direct(images.filter(px <= split_threshold_px)).unionByName(big)
 
 
 def zonal_pixel_stats(zones: DataFrame, images: DataFrame,

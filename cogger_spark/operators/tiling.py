@@ -381,7 +381,8 @@ SPLIT_THRESHOLD_PX = 64 * 1024 * 1024
 
 
 def _tiles_routed(images: DataFrame, tile: int, compression: str,
-                  split_threshold_px: int, target_px: int) -> DataFrame:
+                  split_threshold_px: int, target_px: int,
+                  probe: tuple | None = None) -> DataFrame:
     """Size-routed tile stage: images at or below the threshold take the
     direct whole-image decode (one narrow stage); oversized images take the
     strip pipeline (bounded task memory). Both produce byte-identical tiles
@@ -391,10 +392,15 @@ def _tiles_routed(images: DataFrame, tile: int, compression: str,
     column-pruned sub-second metadata job even on a petabyte table — whose
     max dims are also reused as the strip pipeline's pyramid-depth bound
     (saving its own probe). All-small tables take the direct path with no
-    extra plan nodes at all."""
+    extra plan nodes at all. NOTE the probe runs at plan-construction time:
+    on a DERIVED (non-file-scan) input it recomputes the upstream lineage —
+    such callers should localCheckpoint/cache first, or run route_probe()
+    once themselves and pass its result via `probe=`."""
     from .strips import tile_images_strips
 
-    px, has_small, has_big, max_dims = _route_probe(images, split_threshold_px)
+    px = _px_expr()
+    has_small, has_big, max_dims = probe or route_probe(images,
+                                                        split_threshold_px)
     if not has_big:
         return tile_images(images, tile=tile, compression=compression)
     strips = tile_images_strips(images.filter(px > split_threshold_px),
@@ -407,21 +413,32 @@ def _tiles_routed(images: DataFrame, tile: int, compression: str,
     return direct.unionByName(strips)
 
 
-def _route_probe(images: DataFrame, split_threshold_px: int):
-    """One column-pruned metadata aggregate deciding the pipeline shape."""
-    px = F.col("w").cast("long") * F.col("h")
-    stats = images.agg(F.min(px).alias("mn"), F.max(px).alias("mx"),
+def _px_expr():
+    return F.col("w").cast("long") * F.col("h")
+
+
+def route_probe(images: DataFrame,
+                split_threshold_px: int = SPLIT_THRESHOLD_PX) -> tuple:
+    """One column-pruned metadata aggregate deciding the pipeline shape:
+    (has_small, has_big, max_dims). Runs ONE Spark job — footer-stats cheap
+    on a parquet scan, but on a derived frame it recomputes upstream lineage;
+    run it once on a cached frame and hand the result to
+    cog_pipeline/cog_pipeline_parts/tile_pixel_stats via `probe=` to avoid
+    the pipeline re-probing (and re-filtering) the same lineage."""
+    stats = images.agg(F.min(_px_expr()).alias("mn"),
+                       F.max(_px_expr()).alias("mx"),
                        F.max("w").alias("w"), F.max("h").alias("h")).first()
     has_small = stats["mn"] is not None and stats["mn"] <= split_threshold_px
     has_big = stats["mx"] is not None and stats["mx"] > split_threshold_px
     max_dims = (stats["w"], stats["h"])
-    return px, has_small, has_big, max_dims
+    return has_small, has_big, max_dims
 
 
 def cog_pipeline(images: DataFrame, tile: int = 512,
                  compression: str = "deflate", ghost: bool = True,
                  split_threshold_px: int = SPLIT_THRESHOLD_PX,
-                 target_px: int = 1024 * 1024, fused: bool = True) -> DataFrame:
+                 target_px: int = 1024 * 1024, fused: bool = True,
+                 probe: tuple | None = None) -> DataFrame:
     """images → COG blobs, end-to-end (the flagship dataflow).
 
     Small images take the FUSED zero-shuffle kernel (tile_and_assemble);
@@ -430,15 +447,19 @@ def cog_pipeline(images: DataFrame, tile: int = 512,
     unbounded for gigapixel inputs; sinks should prefer
     cog_pipeline_parts/convert_images, which keep the assembly bounded too.
     fused=False forces the tiles-relation path for all sizes (same bytes,
-    one extra pixel shuffle — useful when the tile relation is reused)."""
+    one extra pixel shuffle — useful when the tile relation is reused).
+    `probe` accepts a precomputed route_probe() result (pass it when
+    `images` is a derived frame, to avoid re-running its lineage)."""
     if not fused:
         tiles = _tiles_routed(images, tile, compression, split_threshold_px,
-                              target_px)
+                              target_px, probe=probe)
         return assemble_cogs(tiles, tile=tile, compression=compression,
                              ghost=ghost)
     from .strips import tile_images_strips
 
-    px, has_small, has_big, max_dims = _route_probe(images, split_threshold_px)
+    px = _px_expr()
+    has_small, has_big, max_dims = probe or route_probe(images,
+                                                        split_threshold_px)
     if not has_big:
         return tile_and_assemble(images, tile=tile, compression=compression,
                                  ghost=ghost)
@@ -500,22 +521,27 @@ def cog_pipeline_parts(images: DataFrame, tile: int = 512,
                        split_threshold_px: int = SPLIT_THRESHOLD_PX,
                        target_px: int = 1024 * 1024,
                        tiles_per_part: int = 256,
-                       fused: bool = True) -> DataFrame:
+                       fused: bool = True,
+                       probe: tuple | None = None) -> DataFrame:
     """images → ordered COG parts with bounded memory end-to-end. Small
     images take the fused zero-shuffle parts kernel; oversized images route
     through the strip pipeline into the streaming parts assembly (header
     from metadata only; ghost-framed data chunks of <= tiles_per_part
     tiles). Concatenating an image's parts in part_idx order is
     byte-identical to the assemble_cogs blob (tested) — this is the
-    sink-safe default for any table that may contain oversized images."""
+    sink-safe default for any table that may contain oversized images.
+    `probe` accepts a precomputed route_probe() result (pass it when
+    `images` is a derived frame, to avoid re-running its lineage)."""
     if not fused:
         tiles = _tiles_routed(images, tile, compression, split_threshold_px,
-                              target_px)
+                              target_px, probe=probe)
         return assemble_cog_parts(tiles, tile=tile, compression=compression,
                                   ghost=ghost, tiles_per_part=tiles_per_part)
     from .strips import tile_images_strips
 
-    px, has_small, has_big, max_dims = _route_probe(images, split_threshold_px)
+    px = _px_expr()
+    has_small, has_big, max_dims = probe or route_probe(images,
+                                                        split_threshold_px)
     if not has_big:
         return tile_and_assemble_parts(images, tile=tile,
                                        compression=compression, ghost=ghost,

@@ -85,17 +85,15 @@ class _BackwardBits:
         return self.bits
 
     def read(self, n: int) -> int:
-        """Read n bits; zero-fills past the start (callers bound by counts)."""
+        """Read n bits. Reading past the stream start is corruption per the
+        spec (RFC 8878 §4.1: a valid stream is consumed exactly), so it
+        raises rather than zero-filling to garbage."""
         if n == 0:
             return 0
         self.bits -= n
         if self.bits >= 0:
             return (self.value >> self.bits) & ((1 << n) - 1)
-        pad = -self.bits
-        self.bits = 0
-        if pad > n:
-            return 0
-        return (self.value & ((1 << (n - pad)) - 1)) << pad
+        raise ValueError("zstd: corrupt bitstream (read past stream start)")
 
     def peek(self, n: int) -> int:
         if n == 0:
@@ -273,6 +271,12 @@ def _huf_decode_stream(data: bytes, table, max_bits: int, n_out: int) -> bytes:
         sym, length = table[stream.peek(max_bits)]
         stream.read(length)
         out[i] = sym
+    # a valid stream is exactly consumed after the declared symbol count
+    # (the reference decoder's BIT_endOfDStream check) — leftovers mean the
+    # payload didn't encode what the header declared
+    if stream.remaining != 0:
+        raise ValueError("zstd: corrupt Huffman stream "
+                         f"({stream.remaining} bits left after {n_out} symbols)")
     return bytes(out)
 
 

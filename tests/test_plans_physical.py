@@ -103,14 +103,16 @@ def test_bucketed_join_has_no_exchange(spark, fixture_dir, tmp_path):
 
 
 def test_exact_dedup_exchange_key_is_digest_not_text(spark):
-    """The dedup shuffle must be keyed on md5(text), never on the raw text
+    """The dedup shuffle must be keyed on sha2(text), never on the raw text
     column — at 100 TB the text IS the payload, so a text-keyed exchange
-    doubles the job (VERDICT r1). Also asserts map-side partial aggregation
-    (min_by partials collapse duplicates before the shuffle)."""
+    doubles the job (VERDICT r1). sha2-256 not md5: chosen-prefix md5
+    collisions would let crafted documents dedupe into one (ADVICE r2).
+    Also asserts map-side partial aggregation (min_by partials collapse
+    duplicates before the shuffle)."""
     from cogger_spark.operators.dedup import exact_dedup
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _plan(exact_dedup(docs))
-    assert "md5(" in plan, plan  # digest computed map-side
+    assert "sha2(" in plan, plan  # digest computed map-side
     exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
     assert exchanges, plan
     for ln in exchanges:

@@ -125,3 +125,47 @@ def test_property_roundtrip_random_structured(jzstd):
         level = int(rng.choice([1, 3, 6, 12, 19, 22]))
         comp = bytes(jzstd.compress(payload, level))
         assert zstd_decompress(comp) == payload, (trial, level, len(payload))
+
+
+def test_corrupt_payload_parity_with_reference(spark):
+    """Corruption behavior parity with the reference decoder (zstd-jni).
+    A checksum-less zstd frame cannot detect every bit flip — most flips
+    yield a structurally valid stream the REFERENCE decoder also accepts
+    (returning different bytes). The contract after the ADVICE r2 overrun
+    fix: the pure-Python decoder is (a) NEVER more permissive than the
+    reference — any flip zstd-jni rejects, we must reject (overrun /
+    inexact-consumption cases previously zero-filled to garbage), and
+    (b) byte-identical to the reference whenever both accept."""
+    import numpy as np
+    from cogger_spark.tiff.zstd import zstd_decompress
+    jzstd = spark._jvm.com.github.luben.zstd.Zstd
+    payload = (b"the quick brown fox jumps over the lazy dog " * 200
+               + bytes(range(256)) * 20)
+    comp = bytearray(bytes(jzstd.compress(payload, 9)))
+    rng = np.random.RandomState(7)
+    jni_rejected = divergent = more_permissive = 0
+    for _ in range(60):
+        i = int(rng.randint(12, len(comp)))
+        bit = 1 << int(rng.randint(8))
+        comp[i] ^= bit
+        b = bytes(comp)
+        try:
+            ref = bytes(jzstd.decompress(b, len(payload) * 2))
+            ref_ok = True
+        except Exception:  # noqa: BLE001 (py4j wraps ZstdException)
+            ref_ok = False
+        try:
+            got = zstd_decompress(b)
+            got_ok = True
+        except (ValueError, IndexError, OverflowError):
+            got_ok = False
+        if not ref_ok:
+            jni_rejected += 1
+            if got_ok:
+                more_permissive += 1
+        elif got_ok and got != ref:
+            divergent += 1
+        comp[i] ^= bit
+    assert more_permissive == 0, (jni_rejected, more_permissive)
+    assert divergent == 0, divergent
+    assert jni_rejected > 0  # the sample does exercise the reject path
