@@ -18,13 +18,20 @@ Scale notes (100 TB design point):
 * tile metadata queries never touch `payload`/`bytes` (column pruning pushes
   a 2-column read into the parquet scan).
 
-Tile-plane convention: imagery tiles are pixel-interleaved (one tile holds
-all bands, PlanarConfiguration=1) with plane=0; the optional mask plane is
-plane=1 — exactly the reference's default interleaving [[0,1]] where the
-mask index is 1 for non-planar files (cog.go:155-166, 1132-1137).  The
-deterministic global tile order is therefore
+Tile-plane convention: by default imagery tiles are pixel-interleaved (one
+tile holds all bands, PlanarConfiguration=1) with plane=0; the optional mask
+plane is plane=1 — exactly the reference's default interleaving [[0,1]]
+where the mask index is 1 for non-planar files (cog.go:155-166, 1132-1137).
+The deterministic global tile order is therefore
     ORDER BY level DESC, ty, tx, plane        (W1, cog.go:1106-1168)
 (level L = smallest overview comes first; level 0 = full-res last.)
+
+planar=True (PlanarConfiguration=2, cog.go:19-45/125-179): plane p in
+[0, nplanes) is band p's single-band tile and plane nplanes is the mask;
+the order key gains the interleave-group component — per level, per group
+of the PlanarInterleaving spec, then ty, tx, position-within-group
+(tile_order_window(interleaving=...)); the default single group reduces to
+the W1 key above.
 """
 
 from __future__ import annotations
@@ -108,13 +115,21 @@ def decode_any(data: bytes, w: int, h: int, fmt: str):
 
 
 def _decode_and_cut(data: bytes, w: int, h: int, fmt: str, tile: int,
-                    compression: str, min_overview_size: int = 2):
+                    compression: str, min_overview_size: int = 2,
+                    planar: bool = False):
     """Decode one image, build its pyramid, cut + compress every tile.
     Returns (nplanes, has_mask, n_levels, level_dims, payloads) with
     payloads keyed (level, plane, ty, tx) — the single source of pixel
     semantics shared by the tile-relation kernel (tile_images) and the fused
     single-pass kernel (tile_and_assemble), so both are byte-identical by
-    construction."""
+    construction.
+
+    planar=False (default): pixel-interleaved tiles — plane 0 holds all
+    bands, plane 1 is the optional mask (PlanarConfiguration=1).
+    planar=True: one single-band tile per band — plane p in [0, nplanes) is
+    band p, plane nplanes is the mask (PlanarConfiguration=2,
+    cog.go:125-179; the mask's plane index is SamplesPerPixel per
+    cog.go:1132-1137)."""
     px, nplanes, mask = decode_any(data, w, h, fmt)
     levels = build_pyramid(px, tile, min_overview_size)
     level_dims = {}
@@ -123,49 +138,69 @@ def _decode_and_cut(data: bytes, w: int, h: int, fmt: str, tile: int,
         lh, lw = lpx.shape[0], lpx.shape[1]
         level_dims[lvl] = (lw, lh)
         for tx, ty, block in cut_tiles(lpx, tile):
-            payloads[(lvl, 0, ty, tx)] = encode_image(block[:, :, :nplanes],
-                                                      compression)
-            if mask:
-                payloads[(lvl, 1, ty, tx)] = encode_image(block[:, :, nplanes:],
-                                                          compression)
+            if planar:
+                for p in range(nplanes):
+                    payloads[(lvl, p, ty, tx)] = encode_image(
+                        block[:, :, p:p + 1], compression)
+                if mask:
+                    payloads[(lvl, nplanes, ty, tx)] = encode_image(
+                        block[:, :, nplanes:], compression)
+            else:
+                payloads[(lvl, 0, ty, tx)] = encode_image(
+                    block[:, :, :nplanes], compression)
+                if mask:
+                    payloads[(lvl, 1, ty, tx)] = encode_image(
+                        block[:, :, nplanes:], compression)
     return nplanes, mask, len(levels), level_dims, payloads
 
 
 def _build_cog(image_id: str, nplanes: int, has_mask: bool, n_levels: int,
                level_dims: dict, payloads: dict, tile: int, comp_tag: int,
-               ghost: bool) -> tuple[bytes, bytes, int]:
+               ghost: bool, planar: bool = False,
+               planar_interleaving: list | None = None) -> tuple[bytes, bytes, int]:
     """Assemble one image's COG from in-memory tile payloads via the
     byte-exact codec. Returns (header, data, header_bytes) — shared by the
-    grouped assembly kernel and the fused kernel."""
+    grouped assembly kernel and the fused kernel.
+
+    planar=True emits PlanarConfiguration=2: one imagery IFD per level with
+    plane-major tile indexing (TIFF6 / codec tile_idx), the mask still its
+    own 1-band IFD; `planar_interleaving` customizes the data-section order
+    of band/mask tiles within each level (cog.go:19-45, must include index
+    nplanes for the mask when present)."""
     from ..tiff.codec import _Writer
     lon0, lat0 = anchor(img_index(image_id))
+    mask_plane = (nplanes if planar else 1)
 
     def make_ifd(level: int, plane: int) -> IFD:
+        """plane 0 = imagery (all bands), plane `mask_plane` = mask IFD."""
         lw, lh = level_dims[level]
         ntx = -(-lw // tile)
         nty = -(-lh // tile)
         tbc, blobs = [], []
-        for y in range(nty):
-            for x in range(ntx):
-                b = payloads[(level, plane, y, x)]
-                tbc.append(len(b))
-                blobs.append(b)
-        bands = nplanes if plane == 0 else 1
+        is_mask = plane == mask_plane and has_mask
+        img_planes = range(nplanes) if (planar and not is_mask) else [plane]
+        for p in img_planes:  # plane-major tile index layout (tile_idx)
+            for y in range(nty):
+                for x in range(ntx):
+                    b = payloads[(level, p, y, x)]
+                    tbc.append(len(b))
+                    blobs.append(b)
+        bands = nplanes if not is_mask else 1
         ifd = IFD(
             image_width=lw, image_height=lh,
             bits_per_sample=(8,) * bands,
             compression=comp_tag,
-            photometric=(4 if plane == 1 else (2 if bands >= 3 else 1)),
+            photometric=(4 if is_mask else (2 if bands >= 3 else 1)),
             samples_per_pixel=bands,
-            planar_configuration=1,
+            planar_configuration=(2 if planar and not is_mask else 1),
             tile_width=tile, tile_height=tile,
             tile_byte_counts=tuple(tbc),
             tile_offsets=tuple([0] * len(tbc)),
             software="cogger_spark",
         )
-        if plane == 0 and bands == 4:
+        if not is_mask and bands == 4:
             ifd.extra_samples = (0,)
-        if level == 0 and plane == 0:
+        if level == 0 and not is_mask:
             # synthetic geo frame (functions/geo.py); overviews/masks get
             # these stripped by add_overview/add_mask (cog.go:186-193)
             ifd.model_pixel_scale = (PIXEL_DEG, PIXEL_DEG, 0.0)
@@ -177,12 +212,13 @@ def _build_cog(image_id: str, nplanes: int, has_mask: bool, n_levels: int,
     for lvl in range(1, n_levels):
         ovr = make_ifd(lvl, 0)
         if has_mask:
-            ovr.add_mask(make_ifd(lvl, 1))
+            ovr.add_mask(make_ifd(lvl, mask_plane))
         main.add_overview(ovr)
     if has_mask:
-        main.add_mask(make_ifd(0, 1))
+        main.add_mask(make_ifd(0, mask_plane))
 
-    writer = _Writer(main, Config(with_gdal_ghost=ghost))
+    writer = _Writer(main, Config(with_gdal_ghost=ghost,
+                                  planar_interleaving=planar_interleaving))
     header = writer.header()
     data = b"".join(writer.tile_data())
     # default covers the fully-sparse image (every byte_count 0): no tile
@@ -196,7 +232,8 @@ def _build_cog(image_id: str, nplanes: int, has_mask: bool, n_levels: int,
 
 
 def tile_images(images: DataFrame, tile: int = 512, compression: str = "deflate",
-                min_overview_size: int = 2, parallelism: int | None = None) -> DataFrame:
+                min_overview_size: int = 2, parallelism: int | None = None,
+                planar: bool = False) -> DataFrame:
     """Decode each image, build its 2x-average overview pyramid, cut every
     level into `tile`-sized tiles (zero-padded at edges), compress, and emit
     one row per tile.
@@ -222,7 +259,7 @@ def tile_images(images: DataFrame, tile: int = 512, compression: str = "deflate"
             for row in pdf.itertuples(index=False):
                 nplanes, mask, n_levels, level_dims, payloads = _decode_and_cut(
                     row.bytes, int(row.w), int(row.h), row.fmt, tile,
-                    compression, min_overview_size)
+                    compression, min_overview_size, planar=planar)
                 for (lvl, plane, ty, tx), payload in payloads.items():
                     lw, lh = level_dims[lvl]
                     out["image_id"].append(row.image_id)
@@ -253,24 +290,51 @@ def tile_images(images: DataFrame, tile: int = 512, compression: str = "deflate"
     return images.select(*cols).mapInPandas(kernel, schema=TILE_SCHEMA)
 
 
-def tile_order_window() -> Window:
-    """The deterministic global tile order as a window spec (W1)."""
+def _interleave_keys(interleaving: list | None):
+    """(group_idx, pos_in_group) order-key expressions for a planar
+    interleaving spec (cog.go:19-45). None = the default single group, where
+    group_idx is constant and pos == plane — so the default order key
+    degenerates to (level DESC, ty, tx, plane), the W1 ordering."""
+    if interleaving is None:
+        return F.lit(0), F.col("plane")
+    gexpr = F.lit(len(interleaving))   # unmapped planes sort last (loudly)
+    pexpr = F.lit(-1)
+    for gi, group in enumerate(interleaving):
+        for pos, plane in enumerate(group):
+            cond = F.col("plane") == plane
+            gexpr = F.when(cond, F.lit(gi)).otherwise(gexpr)
+            pexpr = F.when(cond, F.lit(pos)).otherwise(pexpr)
+    return gexpr, pexpr
+
+
+def tile_order_window(interleaving: list | None = None) -> Window:
+    """The deterministic global tile order as a window spec (W1,
+    cog.go:1126-1168): per level (smallest overview first), per
+    interleave-group, row-major y→x, plane position within group. The
+    default interleaving makes this (level DESC, ty, tx, plane); pass a
+    PlanarInterleaving spec (e.g. [[0],[1],[2],[3]] for band-major) to rank
+    planar tiles in a custom data order."""
+    g, p = _interleave_keys(interleaving)
     return (Window.partitionBy("image_id")
-            .orderBy(F.col("level").desc(), "ty", "tx", "plane"))
+            .orderBy(F.col("level").desc(), g, "ty", "tx", p))
 
 
-def with_tile_order(tiles: DataFrame) -> DataFrame:
+def with_tile_order(tiles: DataFrame,
+                    interleaving: list | None = None) -> DataFrame:
     """Rank every tile in the reference write order (0-based)."""
     return tiles.withColumn(
-        "tile_rank", F.row_number().over(tile_order_window()) - F.lit(1))
+        "tile_rank",
+        F.row_number().over(tile_order_window(interleaving)) - F.lit(1))
 
 
-def with_data_offsets(tiles: DataFrame, ghost: bool = True) -> DataFrame:
+def with_data_offsets(tiles: DataFrame, ghost: bool = True,
+                      interleaving: list | None = None) -> DataFrame:
     """Per-image running byte offset of each tile within the data section
     (A1, cog.go:568-596): prefix sum of byte_count (+8 ghost framing per
     tile), zero-length tiles elided (offset 0, occupy no bytes — P3)."""
     overhead = GHOST_OVERHEAD if ghost else 0
-    w = tile_order_window().rowsBetween(Window.unboundedPreceding, -1)
+    w = tile_order_window(interleaving).rowsBetween(
+        Window.unboundedPreceding, -1)
     occupied = F.when(F.col("byte_count") > 0,
                       F.col("byte_count") + F.lit(overhead)).otherwise(F.lit(0))
     off = F.coalesce(F.sum(occupied).over(w), F.lit(0))
@@ -289,7 +353,8 @@ SPLIT_ASSEMBLY_SCHEMA = ("image_id string, header binary, data binary, "
 
 def assemble_cogs(tiles: DataFrame, tile: int = 512,
                   compression: str = "deflate", ghost: bool = True,
-                  split: bool = False) -> DataFrame:
+                  split: bool = False, planar: bool = False,
+                  planar_interleaving: list | None = None) -> DataFrame:
     """Group tiles per image and emit one complete COG blob per image.
 
     The kernel rebuilds the IFD tree (main + overviews + masks) and delegates
@@ -315,7 +380,8 @@ def assemble_cogs(tiles: DataFrame, tile: int = 512,
             level_dims[r.level] = (int(r.level_w), int(r.level_h))
         header, data, header_bytes = _build_cog(
             image_id, nplanes, has_mask, n_levels, level_dims, payloads,
-            tile, comp_tag, ghost)
+            tile, comp_tag, ghost, planar=planar,
+            planar_interleaving=planar_interleaving)
         base = {
             "image_id": [image_id],
             "n_tiles": [len(pdf)],
