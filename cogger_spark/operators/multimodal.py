@@ -8,7 +8,9 @@ NotImplementedError until a codec library exists in the environment
 
 Conventions:
 * image  — bytes = (h, w, bands) u8, raw or deflate (imagecodecs.py);
-* audio  — bytes = mono int16 PCM little-endian; metadata: sample_rate;
+* audio  — fmt 'wav': a real RIFF/PCM container decoded with the stdlib
+  `wave` module (functions/audio.py — 8/16/24/32-bit, any channel count);
+  fmt 'pcm16': bare mono int16 little-endian frames; metadata: sample_rate;
 * video  — bytes = n_frames × (h, w, bands) u8 concatenated (a deterministic
   fake layout standing in for a real container until codecs exist).
 """
@@ -25,6 +27,21 @@ from pyspark.sql import DataFrame
 from ..functions.imagecodecs import decode_image
 
 _STUB_FMTS = {"webp", "mp3", "aac", "h264", "av1"}
+
+
+def _decode_audio(data: bytes, fmt: str, sample_rate: int | None = None):
+    """(mono int16, rate) from a wav container or bare pcm16 frames."""
+    from ..functions.audio import to_mono_i16, wav_decode
+    if fmt in _STUB_FMTS:
+        raise NotImplementedError(
+            f"{fmt} decode needs a codec library absent from this environment")
+    if fmt == "wav":
+        samples, rate = wav_decode(data)
+        return to_mono_i16(samples), rate
+    if fmt == "pcm16":
+        rate = int(sample_rate) if sample_rate is not None else None
+        return np.frombuffer(data, dtype="<i2"), rate
+    raise ValueError(f"unknown audio fmt {fmt!r}")
 
 
 def _decode(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
@@ -115,16 +132,18 @@ def sample_frames(videos: DataFrame, every_k: int = 2) -> DataFrame:
 
 
 def audio_features(audio: DataFrame, window: int = 1024) -> DataFrame:
-    """Windowed RMS over int16 PCM — audio feature plumbing."""
+    """Windowed RMS over the decoded mono PCM — wav containers (stdlib
+    decode) and bare pcm16 rows share the kernel."""
     schema = "audio_id string, n_windows int, rms array<double>"
+    has_rate = "sample_rate" in audio.columns
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"audio_id": [], "n_windows": [], "rms": []}
             for r in pdf.itertuples(index=False):
-                if r.fmt in _STUB_FMTS:
-                    raise NotImplementedError(f"{r.fmt} decode needs a codec library")
-                pcm = np.frombuffer(r.bytes, dtype="<i2").astype(np.float64)
+                pcm, _rate = _decode_audio(
+                    r.bytes, r.fmt, getattr(r, "sample_rate", None))
+                pcm = pcm.astype(np.float64)
                 n = len(pcm) // window
                 if n == 0:
                     out["audio_id"].append(r.audio_id)
@@ -138,8 +157,81 @@ def audio_features(audio: DataFrame, window: int = 1024) -> DataFrame:
                 out["rms"].append([float(x) for x in rms])
             yield pd.DataFrame(out)
 
-    return audio.select("audio_id", "bytes", "fmt") \
-                .mapInPandas(kernel, schema=schema)
+    cols = ["audio_id", "bytes", "fmt"] + (["sample_rate"] if has_rate else [])
+    return audio.select(*cols).mapInPandas(kernel, schema=schema)
+
+
+def audio_stats(audio: DataFrame) -> DataFrame:
+    """Per-clip decode → duration / rate / channel metadata + RMS and peak
+    over the mono mix — the audio analogue of dataset_stats, end-to-end
+    through the real wav container."""
+    schema = ("audio_id string, sample_rate int, n_frames long, "
+              "n_channels int, duration_s double, rms double, peak int")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.audio import to_mono_i16, wav_decode
+        for pdf in batches:
+            out = {k: [] for k in ("audio_id", "sample_rate", "n_frames",
+                                   "n_channels", "duration_s", "rms", "peak")}
+            for r in pdf.itertuples(index=False):
+                if r.fmt in _STUB_FMTS:
+                    raise NotImplementedError(
+                        f"{r.fmt} decode needs a codec library")
+                if r.fmt == "wav":
+                    samples, rate = wav_decode(r.bytes)
+                else:
+                    pcm, rate = _decode_audio(
+                        r.bytes, r.fmt, getattr(r, "sample_rate", None))
+                    if rate is None:
+                        raise ValueError(
+                            "pcm16 rows need a sample_rate column for stats")
+                    samples = pcm[:, None]
+                mono = to_mono_i16(samples).astype(np.float64)
+                out["audio_id"].append(r.audio_id)
+                out["sample_rate"].append(rate)
+                out["n_frames"].append(samples.shape[0])
+                out["n_channels"].append(samples.shape[1])
+                out["duration_s"].append(samples.shape[0] / rate)
+                out["rms"].append(float(np.sqrt((mono * mono).mean()))
+                                  if samples.shape[0] else 0.0)
+                out["peak"].append(int(np.abs(mono).max())
+                                   if samples.shape[0] else 0)
+            yield pd.DataFrame(out)
+
+    cols = [c for c in ("audio_id", "bytes", "fmt", "sample_rate")
+            if c in audio.columns]
+    return audio.select(*cols).mapInPandas(kernel, schema=schema)
+
+
+def audio_resample(audio: DataFrame, out_rate: int) -> DataFrame:
+    """Decode → mono downmix → linear-interp resample to `out_rate`; output
+    stays an opaque pcm16 binary column with updated metadata (the resize
+    analogue for the audio modality)."""
+    schema = ("audio_id string, bytes binary, fmt string, sample_rate int, "
+              "n_frames long")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.audio import resample_linear_i16
+        for pdf in batches:
+            out = {k: [] for k in ("audio_id", "bytes", "fmt", "sample_rate",
+                                   "n_frames")}
+            for r in pdf.itertuples(index=False):
+                mono, rate = _decode_audio(
+                    r.bytes, r.fmt, getattr(r, "sample_rate", None))
+                if rate is None:
+                    raise ValueError(
+                        "pcm16 rows need a sample_rate column to resample")
+                rs = resample_linear_i16(mono, rate, out_rate)
+                out["audio_id"].append(r.audio_id)
+                out["bytes"].append(rs.astype("<i2").tobytes())
+                out["fmt"].append("pcm16")
+                out["sample_rate"].append(out_rate)
+                out["n_frames"].append(len(rs))
+            yield pd.DataFrame(out)
+
+    cols = [c for c in ("audio_id", "bytes", "fmt", "sample_rate")
+            if c in audio.columns]
+    return audio.select(*cols).mapInPandas(kernel, schema=schema)
 
 
 def compute_phash(images: DataFrame) -> DataFrame:
