@@ -145,3 +145,96 @@ def test_jpeg_grayscale(spark, jio):
     ref = np.array(out_arr, dtype=np.int64).reshape(h, w)[:, :, None]
     assert _psnr(ours, ref.astype(np.uint8)) >= 40.0, \
         _psnr(ours, ref.astype(np.uint8))
+
+
+@pytest.fixture(scope="module")
+def jio_prog(spark, jio):
+    """Progressive (SOF2) encoder via ImageIO's ImageWriteParam — the same
+    JVM oracle, MODE_DEFAULT spectral-selection + successive-approximation
+    script (10 scans)."""
+    jvm = spark._jvm
+    gateway = spark.sparkContext._gateway
+
+    def encode_prog(px):
+        h, w = px.shape[:2]
+        img = jvm.java.awt.image.BufferedImage(w, h, 1)
+        argb = ((px[:, :, 0].astype(np.int64) << 16)
+                | (px[:, :, 1].astype(np.int64) << 8)
+                | px[:, :, 2].astype(np.int64)) | (0xFF << 24)
+        arr = gateway.new_array(jvm.int, h * w)
+        flat = argb.reshape(-1)
+        for i in range(h * w):
+            v = int(flat[i])
+            arr[i] = v - (1 << 32) if v >= (1 << 31) else v
+        img.setRGB(0, 0, w, h, arr, 0, w)
+        writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+        param = writer.getDefaultWriteParam()
+        param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+        bos = jvm.java.io.ByteArrayOutputStream()
+        ios = jvm.javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), param)
+        ios.flush()
+        writer.dispose()
+        data = bytes(bos.toByteArray())
+        assert b"\xff\xc2" in data  # really SOF2
+        return data
+
+    return encode_prog
+
+
+@pytest.mark.parametrize("dims", [(64, 80), (57, 71), (16, 16)])
+def test_jpeg_progressive_psnr_vs_imageio(jio, jio_prog, dims):
+    """SOF2 progressive scans (spectral selection + successive approximation,
+    VERDICT r2 item 6) decode within the north rule's 40 dB of ImageIO's own
+    reconstruction, incl. partial-MCU dims."""
+    _, decode_rgb = jio
+    h, w = dims
+    data = jio_prog(_smooth(h, w))
+    assert data.count(b"\xff\xda") > 3  # genuinely multi-scan
+    ours = jpeg_decode(data)
+    ref = decode_rgb(data)
+    assert ours.shape == ref.shape == (h, w, 3)
+    assert _psnr(ours, ref) >= 40.0, _psnr(ours, ref)
+
+
+def test_jpeg_progressive_busy_content(jio, jio_prog):
+    _, decode_rgb = jio
+    data = jio_prog(_busy(48, 64))
+    p = _psnr(jpeg_decode(data), decode_rgb(data))
+    assert p >= 34.0, p
+
+
+def test_jpeg_progressive_reconstruction_matches_source(jio, jio_prog):
+    """Progressive decode reconstructs the source at least as well as
+    ImageIO's own decode of the same progressive bytes."""
+    _, decode_rgb = jio
+    src = _smooth(64, 64)
+    data = jio_prog(src)
+    ours = _psnr(jpeg_decode(data), src)
+    theirs = _psnr(decode_rgb(data), src)
+    assert ours >= theirs - 0.25, (ours, theirs)
+
+
+def test_jpeg_missing_component_scans_raise(jio):
+    """ADVICE r2: a stream whose scans never cover every frame component
+    must raise, not silently decode partial bands. Truncating a progressive
+    file right after its FIRST scan's entropy data leaves components with no
+    DC coverage only if the first scan is partial; instead, synthesize the
+    case by dropping everything after the first SOS payload and appending
+    EOI — the decoder must reject it when chroma never got a DC scan."""
+    encode_rgb, _ = jio
+    data = encode_rgb(_smooth(32, 32))
+    # baseline single interleaved scan: hack the SOS header to claim ns=1
+    # (Y only) — remaining components then never receive a scan
+    sos = data.index(b"\xff\xda")
+    ln = int.from_bytes(data[sos + 2:sos + 4], "big")
+    # build a fake 1-component SOS header reusing Y's tables
+    body = data[sos + 4:sos + 2 + ln]
+    ns = body[0]
+    assert ns == 3
+    fake = bytes([1]) + body[1:3] + body[1 + 2 * ns:4 + 2 * ns]
+    fake_sos = b"\xff\xda" + (len(fake) + 2).to_bytes(2, "big") + fake
+    hacked = data[:sos] + fake_sos + data[sos + 2 + ln:]
+    with pytest.raises(Exception, match="no DC scan|Huffman|overflow"):
+        jpeg_decode(hacked)
