@@ -109,20 +109,28 @@ def main() -> None:
     n_images = images.count()
 
     timings: dict[str, float] = {}
+    # VM steal-time variance is ±30% (NOTES.md): run the whole suite
+    # SPARK_GRAFT_BENCH_REPS times (default 2, interleaved by construction)
+    # and report the min per query, so round-over-round deltas track code,
+    # not scheduler noise (VERDICT r2 item 9).
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
 
     def timed(name, fn):
         t0 = time.time()
         result = fn()
-        timings[name] = round(time.time() - t0, 3)
+        dt = round(time.time() - t0, 3)
+        timings[name] = min(timings.get(name, dt), dt)
         return result
 
     # warm the JVM, python worker pool, and codegen before timing
     with small_splits():
         cog_pipeline(images.limit(8), tile=512).count()
 
-        # 1. flagship: full COG pipeline (decode → pyramid → tiles → blobs)
-        agg = timed("cog_pipeline", lambda: cog_pipeline(images, tile=512)
-                    .agg({"n_tiles": "sum", "total_bytes": "sum"}).collect()[0])
+    for _rep in range(reps):
+        with small_splits():
+            # 1. flagship: full COG pipeline (decode → pyramid → tiles → blobs)
+            agg = timed("cog_pipeline", lambda: cog_pipeline(images, tile=512)
+                        .agg({"n_tiles": "sum", "total_bytes": "sum"}).collect()[0])
     n_tiles = int(agg["sum(n_tiles)"])
     total_mb = int(agg["sum(total_bytes)"]) / 1e6
     cog_sec = timings["cog_pipeline"]
@@ -145,29 +153,35 @@ def main() -> None:
             convert_images(images.limit(rew_n), str(rew_dir),
                            tile=512, compression="raw")
             (rew_dir / "_done").touch()
-        from cogger_spark.sources.tiffdir import read_tiff_dir
-        tiffs = read_tiff_dir(spark, str(rew_dir))
-        rew = timed("cog_rewrite", lambda: rewrite_tiffs(tiffs)
-                    .agg({"in_bytes": "sum"}).collect()[0])
+    from cogger_spark.sources.tiffdir import read_tiff_dir
+    for _rep in range(reps):
+        with small_splits():
+            tiffs = read_tiff_dir(spark, str(rew_dir))
+            rew = timed("cog_rewrite", lambda: rewrite_tiffs(tiffs)
+                        .agg({"in_bytes": "sum"}).collect()[0])
     rewrite_mb = int(rew["sum(in_bytes)"]) / 1e6
 
     # 3. tile metadata + spatial joins over the bench-scale tables
     manifest = spatial.tile_manifest(images, tile=512, level=0)
-    timed("tile_manifest",
-          lambda: spatial.tile_manifest(images, tile=512, level=None).count())
-    timed("pip_join", lambda: spatial.pip_join(points, manifest).count())
-    timed("knn_join", lambda: spatial.knn_join(points, manifest, k=5).count())
-    timed("knn_adaptive",
-          lambda: spatial.knn_join_adaptive(points, manifest, k=2).count())
-    timed("zonal_stats", lambda: spatial.zonal_stats(zones, manifest).count())
-    timed("phash_canonical", lambda: spatial.phash_canonical(images).count())
+    for _rep in range(reps):
+        timed("tile_manifest",
+              lambda: spatial.tile_manifest(images, tile=512, level=None).count())
+        timed("pip_join", lambda: spatial.pip_join(points, manifest).count())
+        timed("knn_join",
+              lambda: spatial.knn_join(points, manifest, k=5).count())
+        timed("knn_adaptive",
+              lambda: spatial.knn_join_adaptive(points, manifest, k=2).count())
+        timed("zonal_stats",
+              lambda: spatial.zonal_stats(zones, manifest).count())
+        timed("phash_canonical",
+              lambda: spatial.phash_canonical(images).count())
 
-    # 4. documents / embeddings / relational at sf_dir scale
-    for name in ("minhash_lsh_dedup", "simhash_pairs", "ngram_jaccard_pairs",
-                 "ann_cosine_topk", "ann_pq_topk",
-                 "doc_quality", "doc_fingerprint", "pricing_summary",
-                 "orders_topk_per_customer", "events_by_type"):
-        timed(name, lambda n=name: Q.ALL_QUERIES[n](spark, args.sf_dir).count())
+        # 4. documents / embeddings / relational at sf_dir scale
+        for name in ("minhash_lsh_dedup", "simhash_pairs", "ngram_jaccard_pairs",
+                     "ann_cosine_topk", "ann_pq_topk",
+                     "doc_quality", "doc_fingerprint", "pricing_summary",
+                     "orders_topk_per_customer", "events_by_type"):
+            timed(name, lambda n=name: Q.ALL_QUERIES[n](spark, args.sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -178,6 +192,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "cores": args.cores,
+        "bench_reps": reps,
         "bench_images": n_images,
         "bench_tiles": n_tiles,
         "images_per_sec": round(n_images / cog_sec, 2),
