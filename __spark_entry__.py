@@ -69,7 +69,13 @@ def oracle_sql() -> dict[str, str]:
         "dataset_stats": o.DATASET_STATS,
         "point_grid_counts": o.POINT_GRID_COUNTS,
         "tile_offsets_raw": o.TILE_OFFSETS_RAW,
+        # planar (PlanarConfiguration=2) production: per-band tiles,
+        # plane-extended W1 order key, ghost-free prefix sums
+        "tile_offsets_planar": o.TILE_OFFSETS_PLANAR,
         "tile_pixel_sums": o.TILE_PIXEL_SUMS,
+        # the same stats forced through the oversized-image strip route —
+        # strip decomposition must be invisible in the numbers
+        "tile_pixel_sums_strips": o.TILE_PIXEL_SUMS,
         # spatial joins
         "pip_join": o.PIP_JOIN,
         "knn_join": o.KNN_JOIN,

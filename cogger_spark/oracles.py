@@ -116,6 +116,37 @@ FROM sized
 WINDOW w AS (PARTITION BY image_id ORDER BY level DESC, ty, tx, plane)
 """
 
+TILE_OFFSETS_PLANAR = f"""
+WITH {_MANIFEST_CTE},
+rawimg AS (
+  SELECT image_id, octet_length(bytes) // (w * h) AS planes_total
+  FROM {IMAGES} WHERE fmt = 'raw'
+),
+planes AS (
+  SELECT image_id,
+    CASE WHEN planes_total IN (2, 5) THEN planes_total - 1 ELSE planes_total END AS planes,
+    CASE WHEN planes_total IN (2, 5) THEN 1 ELSE 0 END AS has_mask
+  FROM rawimg
+),
+tileplanes AS (
+  -- planar production: one single-band tile per band (plane p = band p),
+  -- plus the mask as plane `planes`; every raw 512x512 single-band tile is
+  -- 262144 bytes; no GDAL ghost framing (planar files drop it)
+  SELECT m.image_id, m.level, m.ty, m.tx,
+    UNNEST(generate_series(0, p.planes - 1 + p.has_mask)) AS plane
+  FROM manifest m JOIN planes p ON m.image_id = p.image_id
+)
+SELECT image_id, CAST(level AS BIGINT) AS level, CAST(plane AS BIGINT) AS plane,
+  CAST(ty AS BIGINT) AS ty, CAST(tx AS BIGINT) AS tx,
+  CAST(262144 AS BIGINT) AS byte_count,
+  CAST(ROW_NUMBER() OVER w - 1 AS BIGINT) AS tile_rank,
+  CAST(COALESCE(SUM(262144) OVER
+    (PARTITION BY image_id ORDER BY level DESC, ty, tx, plane
+     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS data_offset
+FROM tileplanes
+WINDOW w AS (PARTITION BY image_id ORDER BY level DESC, ty, tx, plane)
+"""
+
 PIP_JOIN = f"""
 WITH {_MANIFEST_CTE}
 SELECT p.point_id, p.label, t.image_id, CAST(t.level AS BIGINT) AS level,

@@ -114,6 +114,35 @@ def q_point_grid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial.point_grid_counts(_points(spark), salt_buckets=32)
 
 
+def q_tile_offsets_planar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PlanarConfiguration=2 production path (per-band tiles) checked
+    against the closed-form SQL manifest: every band gets its own
+    single-band tile (plane p = band p, plane nplanes = mask), the W1 order
+    key covers the plane dimension, and the ghost-free prefix sums mirror
+    the planar file layout (planar multi-band files carry no GDAL ghost,
+    cog.go:600-608)."""
+    imgs = _images(spark).filter(F.col("fmt") == "raw")
+    tiles = with_data_offsets(
+        with_tile_order(tile_images(imgs, tile=512, compression="raw",
+                                    planar=True)),
+        ghost=False)
+    out = tiles.select("image_id", "level", "plane", "ty", "tx",
+                       "byte_count", "tile_rank", "data_offset")
+    return _longs(out, "level", "plane", "ty", "tx", "byte_count",
+                  "tile_rank", "data_offset")
+
+
+def q_tile_pixel_sums_strips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME per-tile pixel statistics, forced through the oversized-image
+    STRIP route (split_threshold_px=1): the level-0 strip relation must
+    reproduce the whole-image kernel's numbers exactly, checked against the
+    same closed-form oracle as tile_pixel_sums."""
+    stats = spatial.tile_pixel_stats(_images(spark), tile=512,
+                                     split_threshold_px=1)
+    out = stats.select("image_id", "ty", "tx", "px_count", "px_sum")
+    return _longs(out, "ty", "tx", "px_count", "px_sum")
+
+
 def q_tile_pixel_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel work against pure SQL: per-tile pixel count and sum from
     the decode+slice kernel (raw and deflate inputs alike), reconciled with
@@ -129,7 +158,9 @@ SPATIAL_QUERIES = {
     "dataset_stats": q_dataset_stats,
     "tile_manifest": q_tile_manifest,
     "tile_offsets_raw": q_tile_offsets_raw,
+    "tile_offsets_planar": q_tile_offsets_planar,
     "tile_pixel_sums": q_tile_pixel_sums,
+    "tile_pixel_sums_strips": q_tile_pixel_sums_strips,
     "pip_join": q_pip_join,
     "knn_join": q_knn_join,
     "knn_adaptive": q_knn_adaptive,
