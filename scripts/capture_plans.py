@@ -35,8 +35,14 @@ def main() -> None:
          "ring ladder 2→4→8: per-rung equi-join + anti-join escalation, "
          "one lazy DAG"),
         ("exact_dedup_docs",
-         "hash aggregate keyed on md5(text) with map-side min_by partials — "
-         "the exchange never carries the payload as its key"),
+         "hash aggregate keyed on sha2-256(text) with map-side min_by "
+         "partials — the exchange never carries the payload as its key"),
+        ("tile_offsets_planar",
+         "planar production: narrow per-band tile kernel → interleave-group "
+         "order key window (one sort per image partition)"),
+        ("tile_pixel_sums_strips",
+         "strip-routed pixel stats: bounded level-0 strip relation → narrow "
+         "per-strip stats kernel, no whole-image task memory"),
         ("zonal_stats", "broadcast zones → cover-cell join → hash agg"),
         ("phash_canonical", "partial+final hash aggregate, no window"),
         ("nation_revenue", "broadcast dim join + partial aggregation"),
