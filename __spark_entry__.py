@@ -93,6 +93,10 @@ def oracle_sql() -> dict[str, str]:
         "bigram_counts": o.BIGRAM_COUNTS,
         "exact_dedup_docs": o.EXACT_DEDUP_DOCS,
         "ngram_jaccard_pairs": o.NGRAM_JACCARD_PAIRS,
+        # repeated-passage detection: corpus-duplicated 5-grams + per-doc
+        # contamination ratio (linear explode + hash agg, no pairwise work)
+        "duplicate_ngrams": o.DUPLICATE_NGRAMS,
+        "dup_span_ratio": o.DUP_SPAN_RATIO,
         "dup_clusters": o.DUP_CLUSTERS,
         "embed_neardup": o.EMBED_NEARDUP,
         "embed_dup_clusters": o.EMBED_DUP_CLUSTERS,

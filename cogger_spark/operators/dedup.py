@@ -64,14 +64,8 @@ def trigram_set(textcol):
     Word trigrams, not unigrams: the documents corpus draws from a small
     shared vocabulary, so unigram sets make *every* pair look similar —
     trigram shingles separate true near-dups (jaccard ~0.9+) from noise
-    (<0.1) cleanly."""
-    toks = F.split(textcol, " ")
-    tris = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 2),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i),
-                              F.element_at(toks, i + 1),
-                              F.element_at(toks, i + 2)))
-    return F.array_distinct(tris)
+    (<0.1) cleanly. Short-text guard: see _ngram_set."""
+    return _ngram_set(textcol, 3)
 
 
 def _shingled(docs: DataFrame, *keep: str) -> DataFrame:
@@ -333,3 +327,64 @@ def dedup_clusters(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     connected components → (doc_id, canonical_id), sorted output columns."""
     pairs = minhash_lsh_dedup(docs, threshold)
     return cluster_duplicates(pairs)
+
+
+# ---------------------------------------------------------------------------
+# cross-document duplicate n-gram spans (repeated-passage detection)
+# ---------------------------------------------------------------------------
+
+
+def _ngram_set(textcol, n: int):
+    """Distinct word n-grams of a text column, JVM-side (generalizes
+    trigram_set to any n). Guarded for texts shorter than n words: Spark's
+    sequence(1, stop) DESCENDS when stop < 1, which would index out of
+    bounds — and callers' row filters don't protect against it on local
+    relations, where ConvertToLocalRelation eagerly evaluates projections
+    on unfiltered rows."""
+    toks = F.split(textcol, " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]))
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def duplicate_ngrams(docs: DataFrame, n: int = 5,
+                     min_docs: int = 2) -> DataFrame:
+    """Word n-grams appearing in >= min_docs DISTINCT documents, with their
+    document frequency — the repeated-passage detector real training-data
+    pipelines run before substring-level dedup. Scale shape: one explode of
+    per-document DISTINCT grams (linear in corpus tokens) into a hash
+    aggregate keyed on the gram; no pairwise work anywhere. (At 100 TB the
+    aggregate key would be xxhash64(gram) with the string carried as a
+    payload; here the string key keeps the SQL oracle byte-exact.)"""
+    d = (docs.filter(F.size(F.split(F.col("text"), " ")) >= n)
+         .select("doc_id", _ngram_set(F.col("text"), n).alias("grams")))
+    return (d.select("doc_id", F.explode("grams").alias("ngram"))
+            .groupBy("ngram")
+            .agg(F.countDistinct("doc_id").alias("n_docs"))
+            .filter(F.col("n_docs") >= min_docs))
+
+
+def duplicated_span_ratio(docs: DataFrame, n: int = 5,
+                          min_docs: int = 2) -> DataFrame:
+    """Per-document contamination score: the fraction of a document's
+    distinct n-grams that also occur in >= min_docs documents overall
+    (1.0 = every passage is shared — an exact-dup or boilerplate page;
+    0.0 = fully unique text). Join key is the n-gram (broadcastable-small
+    duplicate set in realistic corpora); documents shorter than n words are
+    excluded (no spans)."""
+    d = (docs.filter(F.size(F.split(F.col("text"), " ")) >= n)
+         .select("doc_id", _ngram_set(F.col("text"), n).alias("grams")))
+    exploded = d.select("doc_id", F.explode("grams").alias("ngram"))
+    dup = duplicate_ngrams(docs, n=n, min_docs=min_docs).select("ngram")
+    flagged = (exploded.join(dup, "ngram")
+               .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup")))
+    totals = d.select("doc_id", F.size("grams").alias("n_grams"))
+    return (totals.join(flagged, "doc_id", "left")
+            .withColumn("n_dup", F.coalesce("n_dup", F.lit(0)))
+            .withColumn("dup_ratio",
+                        F.round(F.col("n_dup") / F.col("n_grams"), 9))
+            .select("doc_id", F.col("n_grams").cast("long").alias("n_grams"),
+                    F.col("n_dup").cast("long").alias("n_dup"), "dup_ratio"))

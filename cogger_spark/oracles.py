@@ -722,6 +722,38 @@ FROM reach GROUP BY node
 """
 
 
+DUPLICATE_NGRAMS = """
+WITH d AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, len(string_split(text, ' ')) - 4),
+    i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS grams
+  FROM documents WHERE len(string_split(text, ' ')) >= 5
+)
+SELECT ngram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM (SELECT doc_id, UNNEST(grams) AS ngram FROM d)
+GROUP BY ngram HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+DUP_SPAN_RATIO = """
+WITH d AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, len(string_split(text, ' ')) - 4),
+    i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS grams
+  FROM documents WHERE len(string_split(text, ' ')) >= 5
+),
+e AS (SELECT doc_id, UNNEST(grams) AS ngram FROM d),
+dup AS (SELECT ngram FROM e GROUP BY ngram HAVING COUNT(DISTINCT doc_id) >= 2),
+flagged AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+  FROM e JOIN dup USING (ngram) GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(len(d.grams) AS BIGINT) AS n_grams,
+  COALESCE(f.n_dup, 0) AS n_dup,
+  ROUND(COALESCE(f.n_dup, 0) / (len(d.grams) * 1.0), 9) AS dup_ratio
+FROM d LEFT JOIN flagged f ON d.doc_id = f.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # BPE training oracle: the 12-round iterative argmax, unrolled into chained
 # materialized CTEs (mirror of operators/bpe.py::bpe_train — same word split,

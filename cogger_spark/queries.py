@@ -244,6 +244,21 @@ def q_simhash_pairs(spark, sf_dir):
     return simhash_pairs(_tbl(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def q_duplicate_ngrams(spark, sf_dir):
+    """Cross-document repeated 5-gram passages (>=2 distinct docs) with
+    document frequency — linear explode + hash aggregate, no pairwise work."""
+    from .operators.dedup import duplicate_ngrams
+    return duplicate_ngrams(_tbl(spark, sf_dir, "documents"), n=5, min_docs=2)
+
+
+def q_dup_span_ratio(spark, sf_dir):
+    """Per-document contamination score: fraction of distinct 5-grams shared
+    with other documents."""
+    from .operators.dedup import duplicated_span_ratio
+    return duplicated_span_ratio(_tbl(spark, sf_dir, "documents"),
+                                 n=5, min_docs=2)
+
+
 def q_embed_neardup(spark, sf_dir):
     from .operators.similarity import cosine_neardup_pairs
     return cosine_neardup_pairs(_tbl(spark, sf_dir, "embeddings"), threshold=0.4)
@@ -322,6 +337,8 @@ DOC_QUERIES = {
     "bigram_counts": q_bigram_counts,
     "exact_dedup_docs": q_exact_dedup_docs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "duplicate_ngrams": q_duplicate_ngrams,
+    "dup_span_ratio": q_dup_span_ratio,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,    # no oracle (LSH buckets)
     "simhash_pairs": q_simhash_pairs,            # no oracle (crc signatures)
     "embed_neardup": q_embed_neardup,

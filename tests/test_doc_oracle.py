@@ -46,6 +46,8 @@ ORACLE_CASES = [
     ("bigram_counts", "BIGRAM_COUNTS"),
     ("exact_dedup_docs", "EXACT_DEDUP_DOCS"),
     ("ngram_jaccard_pairs", "NGRAM_JACCARD_PAIRS"),
+    ("duplicate_ngrams", "DUPLICATE_NGRAMS"),
+    ("dup_span_ratio", "DUP_SPAN_RATIO"),
     ("minhash_lsh_dedup", "MINHASH_LSH_DEDUP"),
     ("simhash_pairs", "SIMHASH_PAIRS"),
     ("dup_clusters", "DUP_CLUSTERS"),
