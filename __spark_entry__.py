@@ -96,6 +96,10 @@ def oracle_sql() -> dict[str, str]:
         # repeated-passage detection: corpus-duplicated 5-grams + per-doc
         # contamination ratio (linear explode + hash agg, no pairwise work)
         "duplicate_ngrams": o.DUPLICATE_NGRAMS,
+        # deterministic (hash-thresholded) data mixing + boundary-agnostic
+        # causal-LM sequence packing (global token cumsum)
+        "stratified_sample": o.STRATIFIED_SAMPLE,
+        "pack_sequences": o.PACK_SEQUENCES,
         "dup_span_ratio": o.DUP_SPAN_RATIO,
         "dup_clusters": o.DUP_CLUSTERS,
         "embed_neardup": o.EMBED_NEARDUP,

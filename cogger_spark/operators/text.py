@@ -121,3 +121,54 @@ def bigram_counts(docs: DataFrame, top_n: int = 100) -> DataFrame:
     w = Window.orderBy(F.col("n").desc(), F.col("pair"))
     return (agg.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= top_n))
+
+
+def stratified_sample(docs: DataFrame, fractions: dict[str, float],
+                      key: str = "lang") -> DataFrame:
+    """Deterministic stratified sampling — the data-mixing step of a
+    training pipeline: keep a per-stratum fraction of documents, decided by
+    a content-stable hash (md5 of the doc_id), never an RNG. Deterministic
+    across runs, engines, partitionings, and cluster sizes, which is why the
+    DuckDB oracle can reproduce it exactly: keep doc iff
+    (first 8 md5 hex digits of doc_id as int) / 2^32 < fraction[stratum].
+    Strata absent from `fractions` are dropped (explicit mixing spec).
+    Scale shape: a map-side filter — no shuffle, no sort, no RNG state."""
+    u32 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                 16, 10).cast("long")
+    frac = F.create_map(
+        *[x for k, v in fractions.items() for x in (F.lit(k), F.lit(float(v)))])
+    thresh = frac[F.col(key)]
+    return (docs.filter(thresh.isNotNull()
+                        & (u32 / F.lit(float(1 << 32)) < thresh)))
+
+
+def pack_sequences(docs: DataFrame, budget: int = 1024) -> DataFrame:
+    """Greedy contiguous sequence packing — assign documents (in global
+    doc_id order) to training-sequence bins of at most `budget` tokens:
+    bin boundaries fall where the running token total would exceed the
+    budget; over-budget documents get a bin of their own. Emitted as
+    (doc_id, n_tokens, bin_id, bin_offset) so a writer can concatenate
+    each bin's documents into one packed sample.
+
+    Exact greedy packing is a sequential scan, so it is expressed as a
+    window cumsum over the global order + a closed-form bin assignment that
+    equals the greedy result when every document fits the budget
+    (bin = floor((cumsum-1)/budget) of the CLIPPED token count — documents
+    longer than the budget are clipped to one full bin so the arithmetic
+    stays aligned). One global sort — at 10^12 rows a range-partitioned
+    sort, the same cost as any deterministic packing.
+
+    NOTE on the closed form: clipping makes every n <= budget, but a doc
+    can still straddle a floor boundary; the emitted bin is the bin its
+    LAST token lands in under back-to-back packing. That is the standard
+    'document-boundary-agnostic' packing used for causal-LM pretraining
+    (samples are cut at budget boundaries regardless of doc edges), not
+    first-fit bin packing."""
+    from pyspark.sql import Window
+    n = F.least(F.size(_toks()), F.lit(budget)).cast("long")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum("n_tokens").over(w)
+    return (docs.select("doc_id", n.alias("n_tokens"))
+            .withColumn("bin_id", F.floor((cum - 1) / budget).cast("long"))
+            .withColumn("bin_offset",
+                        ((cum - F.col("n_tokens")) % budget).cast("long")))

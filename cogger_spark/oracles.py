@@ -722,6 +722,27 @@ FROM reach GROUP BY node
 """
 
 
+STRATIFIED_SAMPLE = """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 WHEN 'zh' THEN 1.0
+      ELSE NULL END IS NOT NULL
+  AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+      / 4294967296.0
+      < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 WHEN 'zh' THEN 1.0 END
+"""
+
+PACK_SEQUENCES = """
+SELECT doc_id,
+  CAST(LEAST(len(string_split(text, ' ')), 1024) AS BIGINT) AS n_tokens,
+  CAST(FLOOR((SUM(LEAST(len(string_split(text, ' ')), 1024)) OVER w - 1)
+             / 1024.0) AS BIGINT) AS bin_id,
+  CAST((SUM(LEAST(len(string_split(text, ' ')), 1024)) OVER w
+        - LEAST(len(string_split(text, ' ')), 1024)) % 1024 AS BIGINT)
+    AS bin_offset
+FROM documents
+WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
 DUPLICATE_NGRAMS = """
 WITH d AS (
   SELECT doc_id, list_distinct(list_transform(

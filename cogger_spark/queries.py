@@ -259,6 +259,23 @@ def q_dup_span_ratio(spark, sf_dir):
                                  n=5, min_docs=2)
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling (data mixing): per-lang keep
+    fractions decided by an md5 hash of doc_id — reproducible by the SQL
+    oracle bit-for-bit, no RNG state anywhere."""
+    from .operators.text import stratified_sample
+    out = stratified_sample(_tbl(spark, sf_dir, "documents"),
+                            {"en": 0.5, "de": 0.25, "zh": 1.0}, key="lang")
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Boundary-agnostic causal-LM sequence packing: global-order token
+    cumsum -> bin of each document's last token + offset of its first."""
+    from .operators.text import pack_sequences
+    return pack_sequences(_tbl(spark, sf_dir, "documents"), budget=1024)
+
+
 def q_embed_neardup(spark, sf_dir):
     from .operators.similarity import cosine_neardup_pairs
     return cosine_neardup_pairs(_tbl(spark, sf_dir, "embeddings"), threshold=0.4)
@@ -338,6 +355,8 @@ DOC_QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "duplicate_ngrams": q_duplicate_ngrams,
+    "stratified_sample": q_stratified_sample,
+    "pack_sequences": q_pack_sequences,
     "dup_span_ratio": q_dup_span_ratio,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,    # no oracle (LSH buckets)
     "simhash_pairs": q_simhash_pairs,            # no oracle (crc signatures)

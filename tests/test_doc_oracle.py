@@ -48,6 +48,8 @@ ORACLE_CASES = [
     ("ngram_jaccard_pairs", "NGRAM_JACCARD_PAIRS"),
     ("duplicate_ngrams", "DUPLICATE_NGRAMS"),
     ("dup_span_ratio", "DUP_SPAN_RATIO"),
+    ("stratified_sample", "STRATIFIED_SAMPLE"),
+    ("pack_sequences", "PACK_SEQUENCES"),
     ("minhash_lsh_dedup", "MINHASH_LSH_DEDUP"),
     ("simhash_pairs", "SIMHASH_PAIRS"),
     ("dup_clusters", "DUP_CLUSTERS"),
