@@ -94,17 +94,23 @@ def main(argv=None) -> int:
             metrics_table(spark, ckpt).show(truncate=False)
             print(f"convert: {len(recs)} buckets processed this run")
     elif args.cmd == "rewrite":
-        from cogger_spark.operators.tiling import rewrite_tiff_sets, rewrite_tiffs
+        from cogger_spark.operators.tiling import (
+            rewrite_tiff_sets, rewrite_tiffs, rewrite_tiffs_to_dir)
         from cogger_spark.sources.tiffdir import (
             read_tiff_dir, read_tiff_sets_dir, write_tiff_dir)
         ghost = not args.no_ghost
         if args.multifile:
             parts = read_tiff_sets_dir(spark, args.in_dir)
             cogs = rewrite_tiff_sets(parts, ghost=ghost)
+            write_tiff_dir(cogs, args.out)
+            n = None
         else:
-            cogs = rewrite_tiffs(read_tiff_dir(spark, args.in_dir), ghost=ghost)
-        write_tiff_dir(cogs, args.out)
-        print(f"rewrite: wrote COGs under {args.out}")
+            # fused rewrite+write: blobs never return to the JVM
+            stats = rewrite_tiffs_to_dir(read_tiff_dir(spark, args.in_dir),
+                                         args.out, ghost=ghost)
+            n = stats.count()
+        print(f"rewrite: wrote COGs under {args.out}"
+              + (f" ({n} files)" if n is not None else ""))
     elif args.cmd == "manifest":
         from cogger_spark.operators.spatial import tile_manifest
         images = spark.read.parquet(args.images)

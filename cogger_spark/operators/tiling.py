@@ -718,6 +718,47 @@ def rewrite_tiffs(tiffs: DataFrame, ghost: bool = True,
 
 
 
+REWRITE_FILES_SCHEMA = ("image_id string, in_bytes long, out_bytes long, "
+                        "out_path string")
+
+
+def rewrite_tiffs_to_dir(tiffs: DataFrame, out_dir: str,
+                         ghost: bool = True) -> DataFrame:
+    """File→file rewrite with the WRITE fused into the rewrite kernel: the
+    COG bytes are produced and written by the same Python worker, so the
+    blob never crosses the JVM↔Python socket after the input read — vs
+    rewrite_tiffs + write_tiff_dir, which returns every blob to the JVM and
+    ships it to a second Python stage (two extra multi-GB transfers). Only
+    (image_id, sizes, path) rows return. Atomic per-file via tmp+rename;
+    this is the reference CLI's own job shape (read .tif, write .tif)."""
+    import os
+
+    from ..tiff.codec import Config, rewrite
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cfg = Config(with_gdal_ghost=ghost)
+        os.makedirs(out_dir, exist_ok=True)
+        for pdf in batches:
+            out = {"image_id": [], "in_bytes": [], "out_bytes": [],
+                   "out_path": []}
+            for r in pdf.itertuples(index=False):
+                cog = rewrite(r.bytes, cfg=cfg)
+                dst = os.path.join(out_dir, f"{r.image_id}.tif")
+                tmp = os.path.join(out_dir, f".{r.image_id}.tmp")
+                with open(tmp, "wb") as f:
+                    f.write(cog)
+                os.replace(tmp, dst)
+                out["image_id"].append(r.image_id)
+                out["in_bytes"].append(len(r.bytes))
+                out["out_bytes"].append(len(cog))
+                out["out_path"].append(dst)
+            yield pd.DataFrame(out)
+
+    tiffs = ensure_fanout(tiffs)
+    return tiffs.select("image_id", "bytes").mapInPandas(
+        kernel, REWRITE_FILES_SCHEMA)
+
+
 def rewrite_tiff_sets(parts: DataFrame, ghost: bool = True) -> DataFrame:
     """Multi-file rewrite (loader.go:63-106 / cogger_test.go TestMultiFiles):
     an image's TIFF arrives as several files (main + external .ovr overview
