@@ -625,18 +625,78 @@ def cog_pipeline_parts(images: DataFrame, tile: int = 512,
     return small.unionByName(big)
 
 
+CONVERT_STATS_SCHEMA = ("image_id string, n_tiles long, n_levels int, "
+                        "total_bytes long")
+
+
+def tile_assemble_write(images: DataFrame, out_dir: str, tile: int = 512,
+                        compression: str = "deflate", ghost: bool = True,
+                        min_overview_size: int = 2) -> DataFrame:
+    """FUSED decode→pyramid→cut→assemble→WRITE for small images: the COG
+    file is written by the same Python worker that decoded the pixels, so
+    the blob never crosses the JVM↔Python socket at all (the sink analogue
+    of tile_and_assemble; same bytes — both call _decode_and_cut/_build_cog;
+    atomic via tmp+rename). Returns stats rows only."""
+    import os
+
+    images = ensure_fanout(images)
+    comp_tag = 1 if compression == "raw" else 8
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        os.makedirs(out_dir, exist_ok=True)
+        for pdf in batches:
+            out = {k: [] for k in ("image_id", "n_tiles", "n_levels",
+                                   "total_bytes")}
+            for row in pdf.itertuples(index=False):
+                nplanes, mask, n_levels, level_dims, payloads = _decode_and_cut(
+                    row.bytes, int(row.w), int(row.h), row.fmt, tile,
+                    compression, min_overview_size)
+                header, data, _hb = _build_cog(
+                    row.image_id, nplanes, mask, n_levels, level_dims,
+                    payloads, tile, comp_tag, ghost)
+                tmp = os.path.join(out_dir, f".{row.image_id}.tmp")
+                with open(tmp, "wb") as f:
+                    f.write(header)
+                    f.write(data)
+                os.replace(tmp, os.path.join(out_dir, f"{row.image_id}.tif"))
+                out["image_id"].append(row.image_id)
+                out["n_tiles"].append(len(payloads))
+                out["n_levels"].append(n_levels)
+                out["total_bytes"].append(len(header) + len(data))
+            yield pd.DataFrame(out)
+
+    cols = ["image_id", "bytes", "w", "h", "fmt"]
+    return images.select(*cols).mapInPandas(kernel, CONVERT_STATS_SCHEMA)
+
+
 def convert_images(images: DataFrame, out_dir: str, tile: int = 512,
                    compression: str = "deflate", ghost: bool = True,
                    split_threshold_px: int = SPLIT_THRESHOLD_PX,
                    target_px: int = 1024 * 1024,
-                   tiles_per_part: int = 256) -> None:
+                   tiles_per_part: int = 256,
+                   probe: tuple | None = None) -> None:
     """The user-facing convert sink: images → <out_dir>/<image_id>.tif, one
     COG per image, auto-routed by size, constant memory per task and per
-    output file regardless of image size."""
-    parts = cog_pipeline_parts(images, tile=tile, compression=compression,
-                               ghost=ghost, split_threshold_px=split_threshold_px,
-                               target_px=target_px, tiles_per_part=tiles_per_part)
-    write_cog_parts(parts, out_dir)
+    output file regardless of image size. Small images take the fully FUSED
+    decode→…→write kernel (no COG bytes ever cross the JVM↔Python socket);
+    oversized images take the strip pipeline into the bounded parts writer."""
+    from .strips import tile_images_strips
+
+    px = _px_expr()
+    has_small, has_big, max_dims = probe or route_probe(images,
+                                                        split_threshold_px)
+    if has_small or not has_big:
+        small = images.filter(px <= split_threshold_px) if has_big else images
+        tile_assemble_write(small, out_dir, tile=tile,
+                            compression=compression, ghost=ghost).count()
+    if has_big:
+        strip_tiles = tile_images_strips(
+            images.filter(px > split_threshold_px), tile=tile,
+            compression=compression, target_px=target_px, max_dims=max_dims)
+        parts = assemble_cog_parts(strip_tiles, tile=tile,
+                                   compression=compression, ghost=ghost,
+                                   tiles_per_part=tiles_per_part)
+        write_cog_parts(parts, out_dir)
 
 
 def write_cogs(cogs: DataFrame, out_dir: str) -> None:
