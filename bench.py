@@ -153,12 +153,19 @@ def main() -> None:
             convert_images(images.limit(rew_n), str(rew_dir),
                            tile=512, compression="raw")
             (rew_dir / "_done").touch()
+    from cogger_spark.operators.tiling import rewrite_tiffs_to_dir
     from cogger_spark.sources.tiffdir import read_tiff_dir
+    import tempfile
     for _rep in range(reps):
         with small_splits():
             tiffs = read_tiff_dir(spark, str(rew_dir))
             rew = timed("cog_rewrite", lambda: rewrite_tiffs(tiffs)
                         .agg({"in_bytes": "sum"}).collect()[0])
+            # the reference CLI's true job shape: .tif in -> .tif out, write
+            # fused into the kernel (blobs never return to the JVM)
+            timed("cog_rewrite_files",
+                  lambda: rewrite_tiffs_to_dir(
+                      tiffs, tempfile.mkdtemp(prefix="bench_rw_")).count())
     rewrite_mb = int(rew["sum(in_bytes)"]) / 1e6
 
     # 3. tile metadata + spatial joins over the bench-scale tables
@@ -199,6 +206,8 @@ def main() -> None:
         "tiles_per_sec": round(n_tiles / cog_sec, 2),
         "cog_mb_per_sec": round(total_mb / cog_sec, 2),
         "rewrite_mb_per_sec": round(rewrite_mb / timings["cog_rewrite"], 2),
+        "rewrite_files_mb_per_sec": round(
+            rewrite_mb / timings["cog_rewrite_files"], 2),
     }))
     spark.stop()
 
