@@ -18,25 +18,29 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the training-data curation pass over the sf0.001 documents
-    table — quality scoring ⋈ token stats ⋈ fingerprints, with exact-dedup
-    canonical flags. (The COG tiling flagship runs in queries()['cog_assembly
-    _summary'] and the pytest suite; this entry point exercises the document
-    side end-to-end on the driver-provided tables.)"""
-    from cogger_spark.operators.dedup import exact_dedup
+    table — quality scoring ⋈ token stats ⋈ fingerprints ⋈ repeated-passage
+    contamination, with exact-dedup canonical flags. (The COG tiling
+    flagship runs in queries()['cog_assembly_summary'] and the pytest suite;
+    this entry point exercises the document side end-to-end on the
+    driver-provided tables.)"""
+    from cogger_spark.operators.dedup import duplicated_span_ratio, exact_dedup
     from cogger_spark.operators.text import fingerprint, quality_score, token_stats
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     q = quality_score(docs)
     t = token_stats(docs)
     fp = fingerprint(docs)
+    contam = duplicated_span_ratio(docs).select("doc_id", "dup_ratio")
     canon = exact_dedup(docs).select("doc_id").withColumn(
         "is_canonical", F.lit(True))
     return (q.join(t, "doc_id").join(fp, "doc_id")
+            .join(contam, "doc_id", "left")
             .join(canon, "doc_id", "left")
+            .withColumn("dup_ratio", F.coalesce("dup_ratio", F.lit(0.0)))
             .withColumn("is_canonical", F.coalesce("is_canonical", F.lit(False)))
             .select("doc_id", "lang", "quality", "stop_ratio", "n_tokens",
                     "n_distinct_tokens", "avg_token_len", "md5_fp",
-                    "rolling_fp", "is_canonical"))
+                    "rolling_fp", "dup_ratio", "is_canonical"))
 
 
 def _q_cog_assembly_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
