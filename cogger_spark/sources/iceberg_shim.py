@@ -10,7 +10,12 @@ actually relies on, over plain partitioned parquet:
 * snapshot isolation + time travel: every append writes a new snapshot JSON
   listing its files; reads pin a snapshot (default: latest) and only read
   its files;
-* metadata tables: snapshots / files (row counts per partition).
+* metadata tables: snapshots / files (row counts per partition);
+* row-level ops: upsert = copy-on-write MERGE at FILE granularity (only the
+  bucket partitions holding affected keys are rewritten; all other files
+  carry into the new snapshot untouched) with `removed` file lists folded
+  by readers in sequence order;
+* incremental scans: rows added strictly between two snapshots.
 
 The public API (write_table / append / read_table / snapshots) is the seam:
 swap the implementation for real Iceberg catalog calls when the runtime jar
@@ -50,8 +55,12 @@ def _snapshot_files(path, snapshot_id: str | None):
                 break
         else:
             raise KeyError(f"snapshot {snapshot_id} not found")
-    files = []
+    files: list[str] = []
     for rec in chosen:
+        # fold removals in sequence order (row-level ops replace files)
+        removed = set(rec.get("removed", []))
+        if removed:
+            files = [f for f in files if f not in removed]
         files.extend(rec["files"])
     return files, chain
 
@@ -126,3 +135,93 @@ def files_table(spark: SparkSession, path: str) -> DataFrame:
     files, _ = _snapshot_files(path, None)
     rows = [{"file": f} for f in files]
     return spark.createDataFrame(rows)
+
+
+def _write_snapshot(path, files: list[str], operation: str,
+                    partition_spec: list, removed: list[str] | None = None,
+                    snap_id: str | None = None) -> str:
+    import time as _time
+    snap_id = snap_id or uuid.uuid4().hex[:12]
+    md = _meta_dir(path)
+    md.mkdir(parents=True, exist_ok=True)
+    seq = len(list(md.glob("snap_*.json")))
+    rec = {
+        "snapshot_id": snap_id,
+        "sequence": seq,
+        "timestamp": _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime()),
+        "operation": operation,
+        "files": files,
+        "removed": removed or [],
+        "partition_spec": partition_spec,
+    }
+    (md / f"snap_{seq:05d}_{snap_id}.json").write_text(json.dumps(rec))
+    return snap_id
+
+
+def upsert(spark: SparkSession, df: DataFrame, path: str,
+           n_buckets: int = 16, partition_cols=("fmt",),
+           key: str = "image_id") -> str:
+    """Row-level MERGE (matched → replace, unmatched → insert) with
+    Iceberg's copy-on-write FILE granularity: only the bucket partitions
+    that can contain an affected key are rewritten — every other data file
+    is carried into the new snapshot untouched (its bytes are never read or
+    moved). Readers pinned to earlier snapshots keep seeing the old rows
+    (snapshot isolation); the new snapshot lists the rewritten buckets'
+    files as removed + their replacements as added."""
+    cur_files, _ = _snapshot_files(path, None)
+    buckets = {r[0] for r in
+               df.select(bucket_for(F.col(key), n_buckets)).distinct().collect()}
+    affected = [f for f in cur_files
+                if any(f"/p_bucket={b}/" in f"/{f}" for b in buckets)]
+    kept = None
+    if affected:
+        by_root: dict[str, list[str]] = {}
+        for f in affected:
+            by_root.setdefault(f.split("/", 1)[0], []).append(f"{path}/{f}")
+        for root, group in sorted(by_root.items()):
+            part = (spark.read.option("basePath", f"{path}/{root}")
+                    .parquet(*group))
+            kept = part if kept is None else kept.unionByName(part)
+        kept = kept.join(df.select(F.col(key)), key, "left_anti") \
+                   .drop("p_bucket")
+    merged = df if kept is None else kept.unionByName(df)
+    snap_id = uuid.uuid4().hex[:12]
+    data_dir = pathlib.Path(path) / f"data_{snap_id}"
+    out = merged.withColumn("p_bucket", bucket_for(F.col(key), n_buckets))
+    (out.write.mode("overwrite")
+        .partitionBy(*partition_cols, "p_bucket")
+        .parquet(str(data_dir)))
+    new_files = [str(p.relative_to(path)) for p in data_dir.rglob("*.parquet")]
+    return _write_snapshot(
+        path, new_files, "overwrite",
+        list(partition_cols) + [f"bucket({key})%{n_buckets}"],
+        removed=affected, snap_id=snap_id)
+
+
+def incremental_read(spark: SparkSession, path: str, from_snapshot: str,
+                     to_snapshot: str | None = None) -> DataFrame:
+    """Iceberg incremental scan: the rows ADDED strictly after
+    `from_snapshot` up to `to_snapshot` (default: latest) — the feed a
+    downstream incremental job consumes instead of rescanning the table.
+    Only append/overwrite-added files in that snapshot range are read.
+    Copy-on-write caveat (same as real Iceberg COW incremental scans): an
+    upsert's rewritten-bucket files count as added, so unchanged rows that
+    shared a bucket with a correction reappear in the feed."""
+    _, chain = _snapshot_files(path, None)
+    ids = [rec["snapshot_id"] for rec in chain]
+    if from_snapshot not in ids:
+        raise KeyError(f"snapshot {from_snapshot} not found")
+    start = ids.index(from_snapshot) + 1
+    end = len(chain) if to_snapshot is None else ids.index(to_snapshot) + 1
+    files = [f for rec in chain[start:end] for f in rec["files"]]
+    if not files:
+        raise ValueError("incremental_read: empty snapshot range")
+    by_root: dict[str, list[str]] = {}
+    for f in files:
+        by_root.setdefault(f.split("/", 1)[0], []).append(f"{path}/{f}")
+    df = None
+    for root, group in sorted(by_root.items()):
+        part = (spark.read.option("basePath", f"{path}/{root}")
+                .parquet(*group))
+        df = part if df is None else df.unionByName(part)
+    return df
