@@ -136,7 +136,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": o.SIMHASH_PAIRS,
         # assembled COG tile/level counts vs the closed-form manifest
         "cog_assembly_summary": o.COG_ASSEMBLY_SUMMARY,
-        # no oracle (genuinely approximate hyperplane buckets, not
-        # SQL-expressible): ann_lsh_topk — rows-only check; recall vs the
-        # exact baseline is asserted in pytest instead.
+        # LSH at exhaustive probe width (probe = all 2^N_PLANES buckets)
+        # yields candidates = corpus, so the exact re-rank equals the exact
+        # top-k and the brute-force oracle applies (same trick as IVF/IVF+PQ);
+        # the approximate configuration's recall is pinned in pytest.
+        "ann_lsh_topk": o.ANN_COSINE_TOPK,
     }

@@ -155,17 +155,30 @@ def main() -> None:
             (rew_dir / "_done").touch()
     from cogger_spark.operators.tiling import rewrite_tiffs_to_dir
     from cogger_spark.sources.tiffdir import read_tiff_dir
+    import shutil
     import tempfile
+    # All cog_rewrite reps run BEFORE the first cog_rewrite_files rep: the
+    # files variant writes ~8 GB per rep, and its page-cache/writeback
+    # pressure previously landed on the next rep's cog_rewrite read
+    # (VERDICT r3 what's-wrong #4 — the 9.3→14.4s driver-side swing).
+    tiffs = read_tiff_dir(spark, str(rew_dir))
     for _rep in range(reps):
         with small_splits():
-            tiffs = read_tiff_dir(spark, str(rew_dir))
             rew = timed("cog_rewrite", lambda: rewrite_tiffs(tiffs)
                         .agg({"in_bytes": "sum"}).collect()[0])
-            # the reference CLI's true job shape: .tif in -> .tif out, write
-            # fused into the kernel (blobs never return to the JVM)
-            timed("cog_rewrite_files",
-                  lambda: rewrite_tiffs_to_dir(
-                      tiffs, tempfile.mkdtemp(prefix="bench_rw_")).count())
+    # the reference CLI's true job shape: .tif in -> .tif out, write fused
+    # into the kernel (blobs never return to the JVM). One output dir,
+    # truncated between reps (untimed) and removed at the end — no /tmp leak.
+    rw_out = tempfile.mkdtemp(prefix="bench_rw_")
+    try:
+        for _rep in range(reps):
+            for p in pathlib.Path(rw_out).iterdir():
+                p.unlink()
+            with small_splits():
+                timed("cog_rewrite_files",
+                      lambda: rewrite_tiffs_to_dir(tiffs, rw_out).count())
+    finally:
+        shutil.rmtree(rw_out, ignore_errors=True)
     rewrite_mb = int(rew["sum(in_bytes)"]) / 1e6
 
     # 3. tile metadata + spatial joins over the bench-scale tables

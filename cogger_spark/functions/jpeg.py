@@ -146,6 +146,11 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"jpeg: bad marker alignment at {pos}")
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF fill
+        # bytes — skip the run so the marker code is never read as 0xFF
+        # (applies equally to _next_marker-discovered positions).
+        while pos + 2 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

@@ -39,7 +39,11 @@ def _decode_audio(data: bytes, fmt: str, sample_rate: int | None = None):
         samples, rate = wav_decode(data)
         return to_mono_i16(samples), rate
     if fmt == "pcm16":
-        rate = int(sample_rate) if sample_rate is not None else None
+        # NaN (a null rate in a float column from a mixed wav/pcm16 table)
+        # must behave like None so callers hit their explicit "pcm16 rows
+        # need a sample_rate" errors, not int(nan)'s ValueError (ADVICE r3)
+        rate = (None if sample_rate is None or pd.isna(sample_rate)
+                else int(sample_rate))
         return np.frombuffer(data, dtype="<i2"), rate
     raise ValueError(f"unknown audio fmt {fmt!r}")
 

@@ -287,8 +287,16 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    from .operators.similarity import ann_lsh_topk
-    return ann_lsh_topk(_tbl(spark, sf_dir, "embeddings"), k=10, query_mod=50)
+    """Hyperplane LSH registered at exhaustive probe width (probe = every
+    bucket, one table): the candidate set is the full corpus, so the
+    exact-cosine re-rank makes the output EQUAL the exact top-k and the
+    brute-force oracle is a valid exact check — the same registration trick
+    as ann_ivf_topk / ann_ivf_pq_topk. The approximate configuration
+    (8 tables, probe=1) and its recall are pinned in
+    tests/test_similarity.py."""
+    from .operators.similarity import N_PLANES, ann_lsh_topk
+    return ann_lsh_topk(_tbl(spark, sf_dir, "embeddings"), k=10, query_mod=50,
+                        n_tables=1, probe=2 ** N_PLANES)
 
 
 def q_ann_pq_topk(spark, sf_dir):
@@ -363,7 +371,7 @@ DOC_QUERIES = {
     "embed_neardup": q_embed_neardup,
     "embed_dup_clusters": q_embed_dup_clusters,
     "ann_cosine_topk": q_ann_cosine_topk,
-    "ann_lsh_topk": q_ann_lsh_topk,              # no oracle (LSH buckets)
+    "ann_lsh_topk": q_ann_lsh_topk,       # exhaustive probe -> exact oracle
     "ann_pq_topk": q_ann_pq_topk,
 }
 

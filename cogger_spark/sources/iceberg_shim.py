@@ -96,6 +96,9 @@ def append(df: DataFrame, path: str, n_buckets: int = 16,
         "operation": "overwrite" if overwrite else "append",
         "files": files,
         "partition_spec": list(partition_cols) + [f"bucket(image_id)%{n_buckets}"],
+        # schema evolution record: the columns this snapshot's writer saw
+        # (add-column appends show up here; older snapshots keep theirs)
+        "schema": [[f.name, f.dataType.simpleString()] for f in df.schema],
     }
     (md / f"snap_{seq:05d}_{snap_id}.json").write_text(json.dumps(rec))
     return snap_id
@@ -112,11 +115,16 @@ def read_table(spark: SparkSession, path: str,
         root = f.split("/", 1)[0]  # data_<snapshot> dir
         by_root.setdefault(root, []).append(f"{path}/{f}")
     df = None
-    for root, group in sorted(by_root.items()):
+    # insertion order == chain (chronological) order: evolved columns land
+    # after the original schema, deterministically
+    for root, group in by_root.items():
         part = (spark.read
                 .option("basePath", f"{path}/{root}")
                 .parquet(*group))
-        df = part if df is None else df.unionByName(part)
+        # schema evolution: columns added by later appends are null-backfilled
+        # for rows written before the column existed (Iceberg add-column)
+        df = part if df is None else df.unionByName(part,
+                                                    allowMissingColumns=True)
     return df
 
 
@@ -139,7 +147,8 @@ def files_table(spark: SparkSession, path: str) -> DataFrame:
 
 def _write_snapshot(path, files: list[str], operation: str,
                     partition_spec: list, removed: list[str] | None = None,
-                    snap_id: str | None = None) -> str:
+                    snap_id: str | None = None,
+                    schema: list | None = None) -> str:
     import time as _time
     snap_id = snap_id or uuid.uuid4().hex[:12]
     md = _meta_dir(path)
@@ -153,6 +162,7 @@ def _write_snapshot(path, files: list[str], operation: str,
         "files": files,
         "removed": removed or [],
         "partition_spec": partition_spec,
+        "schema": schema or [],
     }
     (md / f"snap_{seq:05d}_{snap_id}.json").write_text(json.dumps(rec))
     return snap_id
@@ -184,7 +194,8 @@ def upsert(spark: SparkSession, df: DataFrame, path: str,
             kept = part if kept is None else kept.unionByName(part)
         kept = kept.join(df.select(F.col(key)), key, "left_anti") \
                    .drop("p_bucket")
-    merged = df if kept is None else kept.unionByName(df)
+    merged = df if kept is None else kept.unionByName(
+        df, allowMissingColumns=True)
     snap_id = uuid.uuid4().hex[:12]
     data_dir = pathlib.Path(path) / f"data_{snap_id}"
     out = merged.withColumn("p_bucket", bucket_for(F.col(key), n_buckets))
@@ -195,7 +206,8 @@ def upsert(spark: SparkSession, df: DataFrame, path: str,
     return _write_snapshot(
         path, new_files, "overwrite",
         list(partition_cols) + [f"bucket({key})%{n_buckets}"],
-        removed=affected, snap_id=snap_id)
+        removed=affected, snap_id=snap_id,
+        schema=[[f.name, f.dataType.simpleString()] for f in merged.schema])
 
 
 def incremental_read(spark: SparkSession, path: str, from_snapshot: str,
@@ -211,17 +223,23 @@ def incremental_read(spark: SparkSession, path: str, from_snapshot: str,
     ids = [rec["snapshot_id"] for rec in chain]
     if from_snapshot not in ids:
         raise KeyError(f"snapshot {from_snapshot} not found")
+    if to_snapshot is not None and to_snapshot not in ids:
+        raise KeyError(f"snapshot {to_snapshot} not found")
     start = ids.index(from_snapshot) + 1
     end = len(chain) if to_snapshot is None else ids.index(to_snapshot) + 1
     files = [f for rec in chain[start:end] for f in rec["files"]]
     if not files:
-        raise ValueError("incremental_read: empty snapshot range")
+        # "nothing added since from_snapshot" is a normal polling state —
+        # return an empty frame with the range-end snapshot's schema, not an
+        # error (ADVICE r3)
+        return read_table(spark, path, snapshot_id=to_snapshot).limit(0)
     by_root: dict[str, list[str]] = {}
     for f in files:
         by_root.setdefault(f.split("/", 1)[0], []).append(f"{path}/{f}")
     df = None
-    for root, group in sorted(by_root.items()):
+    for root, group in by_root.items():  # chronological (chain) order
         part = (spark.read.option("basePath", f"{path}/{root}")
                 .parquet(*group))
-        df = part if df is None else df.unionByName(part)
+        df = part if df is None else df.unionByName(part,
+                                                    allowMissingColumns=True)
     return df

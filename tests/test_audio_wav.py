@@ -110,3 +110,18 @@ def test_audio_stub_fmts_still_raise(spark):
                                "audio_id string, bytes binary, fmt string")
     with pytest.raises(Exception, match="codec library"):
         audio_stats(df).collect()
+
+
+def test_pcm16_nan_sample_rate_hits_explicit_error(spark):
+    """A mixed wav/pcm16 table read back from parquet carries sample_rate as
+    a float column, so a missing rate arrives as NaN — it must behave like
+    None and surface the explicit 'pcm16 rows need a sample_rate' error,
+    never int(nan)'s bare ValueError (ADVICE r3)."""
+    import pytest as _pytest
+    from cogger_spark.operators.multimodal import audio_stats
+    df = spark.createDataFrame(
+        [("p0", np.arange(64, dtype="<i2").tobytes(), "pcm16", None)],
+        "audio_id string, bytes binary, fmt string, sample_rate double")
+    with _pytest.raises(Exception) as ei:
+        audio_stats(df).collect()
+    assert "pcm16 rows need a sample_rate" in str(ei.value)

@@ -57,6 +57,8 @@ ORACLE_CASES = [
     ("embed_dup_clusters", "EMBED_DUP_CLUSTERS"),
     ("ann_cosine_topk", "ANN_COSINE_TOPK"),
     ("ann_pq_topk", "ANN_COSINE_TOPK"),
+    # exhaustive probe width -> candidates = corpus -> equals exact top-k
+    ("ann_lsh_topk", "ANN_COSINE_TOPK"),
     ("pricing_summary", "PRICING_SUMMARY"),
     ("orders_topk_per_customer", "ORDERS_TOPK_PER_CUSTOMER"),
     ("nation_revenue", "NATION_REVENUE"),
@@ -89,8 +91,13 @@ def test_minhash_lsh_recall_vs_exact(spark):
 
 
 def test_ann_lsh_recall_vs_brute_force(spark):
+    """The APPROXIMATE configuration (8 tables, single-bucket probe) — the
+    registered query runs at exhaustive probe width and is oracle-checked
+    exactly; this pins the sub-linear config's recall."""
+    from cogger_spark.operators.similarity import ann_lsh_topk
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     bf = queries.q_ann_cosine_topk(spark, SF_DIR).collect()
-    lsh = queries.q_ann_lsh_topk(spark, SF_DIR).collect()
+    lsh = ann_lsh_topk(emb, k=10, query_mod=50).collect()
     bf_sets = {}
     for r in bf:
         bf_sets.setdefault(r.query_id, set()).add(r.vec_id)

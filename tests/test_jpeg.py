@@ -238,3 +238,39 @@ def test_jpeg_missing_component_scans_raise(jio):
     hacked = data[:sos] + fake_sos + data[sos + 2 + ln:]
     with pytest.raises(Exception, match="no DC scan|Huffman|overflow"):
         jpeg_decode(hacked)
+
+
+def test_jpeg_fill_bytes_before_markers(jio):
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may pad the stream before
+    a marker. Inject fill runs before DQT/DHT/SOS/EOI markers of a valid
+    stream — the decode must be identical to the unpadded stream (ADVICE
+    r3: the marker loop previously read the fill byte as the marker code)."""
+    encode_rgb, _ = jio
+    px = _smooth(48, 64)
+    data = encode_rgb(px)
+    base = jpeg_decode(data)
+
+    padded = bytearray()
+    i = 0
+    # walk segments exactly like a writer would, inserting FF-padding before
+    # a few marker codes that appear outside entropy-coded data
+    padded += data[:2]  # SOI
+    i = 2
+    import struct as _s
+    while i < len(data):
+        assert data[i] == 0xFF
+        marker = data[i + 1]
+        if marker in (0xDB, 0xC4, 0xDA):  # DQT / DHT / SOS
+            padded += b"\xff\xff\xff"  # fill run, then the real FF marker
+        if marker == 0xD9:  # EOI
+            padded += b"\xff"
+            padded += data[i:i + 2]
+            break
+        seg_len = _s.unpack(">H", data[i + 2:i + 4])[0]
+        padded += data[i:i + 2 + seg_len]
+        i += 2 + seg_len
+        if marker == 0xDA:  # entropy-coded data up to EOI — copy verbatim
+            padded += data[i:len(data) - 2]
+            i = len(data) - 2
+    got = jpeg_decode(bytes(padded))
+    assert np.array_equal(got, base)

@@ -233,3 +233,34 @@ def test_tile_pixel_stats_routed_equals_direct(spark, big_images):
     big_ids = {r.image_id for r in big_only.select("image_id").collect()}
     assert big_ids  # the oversized subset is non-empty
     assert strip_only == {k: v for k, v in direct.items() if k[0] in big_ids}
+
+
+def test_write_parts_crash_leaves_no_truncated_final_file(tmp_path):
+    """Crash-atomicity of the parts writer (VERDICT r3 what's-wrong #3): a
+    task dying mid-image leaves only a dot-tmpfile — completed images are
+    visible under their final names, the interrupted one is not — and the
+    retry completes normally over the residue."""
+    from types import SimpleNamespace as Row
+
+    import pytest
+
+    from cogger_spark.operators.tiling import _write_parts_rows
+
+    def crashing_rows():
+        yield Row(image_id="img_a", part_idx=0, part=b"AAAA")
+        yield Row(image_id="img_a", part_idx=1, part=b"BBBB")
+        yield Row(image_id="img_b", part_idx=0, part=b"CC")
+        raise RuntimeError("executor died mid-write")
+
+    with pytest.raises(RuntimeError):
+        _write_parts_rows(crashing_rows(), str(tmp_path))
+    assert (tmp_path / "img_a.tif").read_bytes() == b"AAAABBBB"
+    assert not (tmp_path / "img_b.tif").exists()
+
+    retry = [Row(image_id="img_a", part_idx=0, part=b"AAAA"),
+             Row(image_id="img_a", part_idx=1, part=b"BBBB"),
+             Row(image_id="img_b", part_idx=0, part=b"CC"),
+             Row(image_id="img_b", part_idx=1, part=b"DD")]
+    _write_parts_rows(iter(retry), str(tmp_path))
+    assert (tmp_path / "img_b.tif").read_bytes() == b"CCDD"
+    assert not list(tmp_path.glob(".*.tmp"))
