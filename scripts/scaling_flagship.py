@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Flagship-only scaling probe: run cog_pipeline over the cached 19200-image
+bench table at --cores parallelism in THIS process's fresh JVM, measure wall
+time AND whole-box busy-CPU seconds (/proc/stat delta) around exactly the
+timed window, and print one JSON line.
+
+This is the instrument behind the granted-CPU scaling numbers in
+BENCH/BASELINE.md: `local[N]` does not consume N CPUs (the JVM scan/Arrow
+threads run concurrently with the Python workers), so the north rule's
+N→4N criterion is evidenced as
+    efficiency_on_granted = (img_s_hi / img_s_lo) / (busy_hi / busy_lo).
+
+--conf k=v pairs (repeatable) are applied on top of the engine session
+defaults, so A/B sweeps (Arrow batch bytes, worker knobs) run the exact
+production session shape plus one delta.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+os.environ.setdefault("PYSPARK_DRIVER_PYTHON", sys.executable)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+IMAGES = "/tmp/cogger_bench_19200/images.parquet"
+
+
+def busy_jiffies() -> int:
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    # busy = everything except idle (3) and iowait (4)
+    return sum(vals) - vals[3] - vals[4]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, required=True)
+    ap.add_argument("--conf", action="append", default=[],
+                    help="extra spark conf k=v (repeatable)")
+    ap.add_argument("--images", default=IMAGES)
+    ap.add_argument("--split-bytes", default="1m")
+    args = ap.parse_args()
+    extra = dict(kv.split("=", 1) for kv in args.conf)
+
+    from cogger_spark.operators.tiling import cog_pipeline
+    from cogger_spark.session import get_spark
+    spark = get_spark("scaling-flagship", cores=args.cores,
+                      shuffle_partitions=args.cores,
+                      extra={"spark.ui.showConsoleProgress": "false", **extra})
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", args.split_bytes)
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+
+    images = spark.read.parquet(args.images)
+    n_images = images.count()
+    # warm JVM + python workers with a precomputed route (limit(8) still
+    # plans a full-scan route_probe otherwise)
+    cog_pipeline(images.limit(8), tile=512,
+                 probe=(True, False, (2048, 2048))).count()
+
+    j0, t0 = busy_jiffies(), time.time()
+    agg = (cog_pipeline(images, tile=512)
+           .agg({"n_tiles": "sum", "total_bytes": "sum"}).collect()[0])
+    wall = time.time() - t0
+    cpu_sec = (busy_jiffies() - j0) / os.sysconf("SC_CLK_TCK")
+
+    print(json.dumps({
+        "cores": args.cores,
+        "conf": {**extra, "split_bytes": args.split_bytes},
+        "n_images": n_images,
+        "n_tiles": int(agg["sum(n_tiles)"]),
+        "wall_s": round(wall, 2),
+        "img_s": round(n_images / wall, 1),
+        "cpu_sec": round(cpu_sec, 1),
+        "avg_cpus_busy": round(cpu_sec / wall, 2),
+        "img_per_cpu_sec": round(n_images / cpu_sec, 2),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

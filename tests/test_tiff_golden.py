@@ -90,3 +90,78 @@ def test_rewrite_tiffs_split_operator(spark):
     for iid, (h, d, ob) in split.items():
         assert h + d == whole[iid]
         assert ob == len(whole[iid])
+
+
+def test_jpeg_in_tiff_rewrite_fixed_point(spark):
+    """Compression-7 (JPEG-in-TIFF) with a shared JPEGTables tag (347):
+    build a tiled TIFF whose tile payloads are javax.imageio-encoded JPEG
+    streams and whose tag 347 carries the abbreviated tables stream, then
+    assert parse→rewrite is a byte-identical fixed point — the tag-347
+    encoder path (tiff/codec.py, field kind 'bytes') was previously
+    golden-untested (VERDICT r3 #7). The rewrite path is payload-opaque, so
+    payload bytes must also survive exactly."""
+    import struct as _s
+
+    import numpy as np
+
+    from cogger_spark.tiff.codec import IFD, rewrite_ifd_tree
+
+    jvm = spark._jvm
+    gateway = spark.sparkContext._gateway
+
+    def encode_rgb(px):
+        h, w = px.shape[:2]
+        img = jvm.java.awt.image.BufferedImage(w, h, 1)
+        argb = ((px[:, :, 0].astype(np.int64) << 16)
+                | (px[:, :, 1].astype(np.int64) << 8)
+                | px[:, :, 2].astype(np.int64)) | (0xFF << 24)
+        arr = gateway.new_array(jvm.int, h * w)
+        flat = argb.reshape(-1)
+        for i in range(h * w):
+            v = int(flat[i])
+            arr[i] = v - (1 << 32) if v >= (1 << 31) else v
+        img.setRGB(0, 0, w, h, arr, 0, w)
+        bos = jvm.java.io.ByteArrayOutputStream()
+        assert jvm.javax.imageio.ImageIO.write(img, "jpg", bos)
+        return bytes(bos.toByteArray())
+
+    y, x = np.mgrid[0:128, 0:128]
+    payloads = []
+    for ty in range(2):
+        for tx in range(2):
+            r = np.clip(127 + 80 * np.sin((x + 37 * tx) / 17.0), 0, 255)
+            g = np.clip(127 + 60 * np.cos((y + 53 * ty) / 11.0), 0, 255)
+            b = np.clip(127 + 40 * np.sin((x + y) / 23.0), 0, 255)
+            payloads.append(encode_rgb(
+                np.stack([r, g, b], axis=2).astype(np.uint8)))
+
+    # abbreviated-tables stream (T.81 B.5): SOI + the DQT/DHT segments of
+    # one encoded tile + EOI — what libtiff stores in tag 347
+    src = payloads[0]
+    tables = bytearray(b"\xff\xd8")
+    i = 2
+    while i + 4 <= len(src):
+        marker, seg_len = src[i + 1], _s.unpack(">H", src[i + 2:i + 4])[0]
+        if marker in (0xDB, 0xC4):
+            tables += src[i:i + 2 + seg_len]
+        if marker == 0xDA:
+            break
+        i += 2 + seg_len
+    tables += b"\xff\xd9"
+
+    main = IFD(subfile_type=0, image_width=256, image_height=256,
+               bits_per_sample=(8, 8, 8), compression=7, photometric=6,
+               samples_per_pixel=3, tile_width=128, tile_height=128,
+               tile_byte_counts=tuple(len(p) for p in payloads),
+               jpeg_tables=bytes(tables),
+               load_tile=lambda idx: payloads[idx])
+
+    out1 = rewrite_ifd_tree(main)
+    parsed = parse_tiff(out1)
+    p_main = parsed.ifds[0]
+    assert p_main.compression == 7
+    assert p_main.jpeg_tables == bytes(tables), "tag 347 did not round-trip"
+    for idx in range(4):
+        assert p_main.load_tile(idx) == payloads[idx], f"tile {idx} payload"
+    out2 = rewrite(out1)
+    assert _md5(out2) == _md5(out1), "parse→rewrite is not a fixed point"
