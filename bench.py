@@ -93,8 +93,13 @@ def main() -> None:
         synthetic data is so compressible that byte-sized splits starve
         parallelism and skew decode cost); metadata/spatial queries keep the
         default 128m splits (a 1m global setting costs ~1300 footer-opening
-        tasks per metadata scan)."""
-        spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
+        tasks per metadata scan). SPARK_GRAFT_SPLIT_BYTES overrides: at the
+        19200-image scaling scale, 4m splits cut the scan's task count 4x
+        and measurably reduce JVM busy-CPU (r4 A/B, scripts/scaling_ab.py);
+        1m stays the default for the 480-image per-round bench where 4m
+        would leave fewer tasks than cores."""
+        spark.conf.set("spark.sql.files.maxPartitionBytes",
+                       os.environ.get("SPARK_GRAFT_SPLIT_BYTES", "1m"))
         spark.conf.set("spark.sql.files.openCostInBytes", "0")
         try:
             yield

@@ -26,6 +26,11 @@ CONFIGS = {
     "arrow32m": ["--conf", "spark.sql.execution.arrow.maxBytesPerBatch=33554432"],
     "arrow128m": ["--conf", "spark.sql.execution.arrow.maxBytesPerBatch=134217728"],
     "split4m": ["--split-bytes", "4m"],
+    "split8m": ["--split-bytes", "8m"],
+    "split4m_arrow32m": ["--split-bytes", "4m", "--conf",
+                         "spark.sql.execution.arrow.maxBytesPerBatch=33554432"],
+    "split8m_arrow32m": ["--split-bytes", "8m", "--conf",
+                         "spark.sql.execution.arrow.maxBytesPerBatch=33554432"],
 }
 
 

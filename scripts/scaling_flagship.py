@@ -30,12 +30,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 IMAGES = "/tmp/cogger_bench_19200/images.parquet"
 
 
-def busy_jiffies() -> int:
+def cpu_jiffies() -> tuple[int, int]:
+    """(granted_busy, steal) jiffies. Granted busy = user+nice+system+irq+
+    softirq — EXCLUDING idle, iowait, and crucially steal: stolen cycles are
+    precisely the CPUs the host did NOT grant, so counting them as busy
+    would inflate the 'granted hardware' denominator exactly when the VM is
+    being throttled. (guest/guest_nice are already folded into user.)"""
     with open("/proc/stat") as f:
-        parts = f.readline().split()
-    vals = [int(x) for x in parts[1:]]
-    # busy = everything except idle (3) and iowait (4)
-    return sum(vals) - vals[3] - vals[4]
+        v = [int(x) for x in f.readline().split()[1:]]
+    granted = v[0] + v[1] + v[2] + v[5] + v[6]
+    return granted, v[7]
 
 
 def main() -> None:
@@ -64,11 +68,13 @@ def main() -> None:
     cog_pipeline(images.limit(8), tile=512,
                  probe=(True, False, (2048, 2048))).count()
 
-    j0, t0 = busy_jiffies(), time.time()
+    (j0, s0), t0 = cpu_jiffies(), time.time()
     agg = (cog_pipeline(images, tile=512)
            .agg({"n_tiles": "sum", "total_bytes": "sum"}).collect()[0])
     wall = time.time() - t0
-    cpu_sec = (busy_jiffies() - j0) / os.sysconf("SC_CLK_TCK")
+    (j1, s1) = cpu_jiffies()
+    hz = os.sysconf("SC_CLK_TCK")
+    cpu_sec, steal_sec = (j1 - j0) / hz, (s1 - s0) / hz
 
     print(json.dumps({
         "cores": args.cores,
@@ -78,7 +84,9 @@ def main() -> None:
         "wall_s": round(wall, 2),
         "img_s": round(n_images / wall, 1),
         "cpu_sec": round(cpu_sec, 1),
+        "steal_sec": round(steal_sec, 1),
         "avg_cpus_busy": round(cpu_sec / wall, 2),
+        "avg_cpus_stolen": round(steal_sec / wall, 2),
         "img_per_cpu_sec": round(n_images / cpu_sec, 2),
     }))
     spark.stop()
