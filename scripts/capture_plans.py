@@ -51,6 +51,13 @@ def main() -> None:
         ("ann_pq_topk",
          "compressed-code scan: broadcast query LUTs, zip_with+element_at "
          "scoring JVM-side, exact re-rank of the shortlist"),
+        ("pack_sequences",
+         "distributed prefix sum: range-partitioned sort + broadcast "
+         "partition offsets + mapInPandas local cumsum — no Window, no "
+         "SinglePartition anywhere (r4; was a single-partition window)"),
+        ("vocab_counts",
+         "explode → partial/final hash agg → distributed prefix count for "
+         "the global rank — no single-task sort of the vocabulary (r4)"),
     ]
 
     out = ["# PLANS — captured physical plans (explain format)\n",
