@@ -109,6 +109,15 @@ def _distributed_running_sum(df: DataFrame, order_cols, val_col,
     WHERE the work splits, never the global order), and rows/values are
     byte-identical to the windowed formulation, so DuckDB window oracles
     stay green.
+
+    Cost note: the persist holds only the projected order+value columns
+    (~16 bytes/row — e.g. ~16 TB spread over executor local storage at the
+    10^12-row design point), the standard price of a consistent two-pass
+    prefix sum; callers should project to the minimal columns before
+    calling (pack_sequences passes 2, vocab_counts 4 thin columns). The
+    alternative — recomputing the lineage for each pass — risks
+    inconsistent sampled range boundaries between the totals job and the
+    output job.
     """
     spark = df.sparkSession
     if num_partitions is None:

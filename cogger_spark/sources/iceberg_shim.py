@@ -210,6 +210,89 @@ def upsert(spark: SparkSession, df: DataFrame, path: str,
         schema=[[f.name, f.dataType.simpleString()] for f in merged.schema])
 
 
+def expire_snapshots(path: str, keep_last: int = 1) -> dict:
+    """Iceberg table maintenance: drop all but the newest `keep_last`
+    snapshots' METADATA and delete data files no longer referenced by any
+    surviving snapshot (expireSnapshots + the orphan sweep). Time travel to
+    expired snapshots stops working — that is the point (bounded metadata +
+    storage). The surviving snapshots' effective file lists are preserved
+    exactly: the oldest survivor is rewritten as an 'overwrite' snapshot
+    carrying its fold-down (files minus later removals are NOT collapsed —
+    removals only fold at read time, so later survivors stay correct).
+    Returns {"expired": n_snapshots, "deleted_files": n_files}."""
+    md = _meta_dir(path)
+    snaps = sorted(md.glob("snap_*.json"))
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    if len(snaps) <= keep_last:
+        return {"expired": 0, "deleted_files": 0}
+    cut = len(snaps) - keep_last
+    chain = [json.loads(s.read_text()) for s in snaps]
+    # effective file list AT the oldest survivor (removals folded)
+    base_files: list[str] = []
+    for rec in chain[:cut + 1]:
+        removed = set(rec.get("removed", []))
+        if removed:
+            base_files = [f for f in base_files if f not in removed]
+        base_files.extend(rec["files"])
+    # files referenced by ANY survivor = base ∪ later additions
+    referenced = set(base_files)
+    for rec in chain[cut + 1:]:
+        referenced.update(rec["files"])
+    # every file any expired-or-survivor snapshot ever added
+    all_files = {f for rec in chain for f in rec["files"]}
+    orphans = sorted(all_files - referenced)
+    root = pathlib.Path(path)
+    deleted = 0
+    for f in orphans:
+        p = root / f
+        if p.exists():
+            p.unlink()
+            deleted += 1
+        # sweep now-empty partition/data dirs up to (not incl.) the table root
+        parent = p.parent
+        while parent != root and parent.exists() and not any(parent.iterdir()):
+            parent.rmdir()
+            parent = parent.parent
+    # rewrite the oldest survivor with its folded file list, drop the rest
+    survivor = chain[cut]
+    survivor = {**survivor, "files": base_files, "removed": [],
+                "operation": "overwrite"}
+    for s in snaps[:cut]:
+        s.unlink()
+    snaps[cut].write_text(json.dumps(survivor))
+    return {"expired": cut, "deleted_files": deleted}
+
+
+def compact_data_files(spark: SparkSession, path: str, n_buckets: int = 16,
+                       partition_cols=("fmt",), key: str = "image_id") -> str:
+    """Iceberg rewrite_data_files (bin-pack compaction): after many small
+    appends the snapshot chain references many tiny parquet files; rewrite
+    the CURRENT effective rows into one fresh partitioned layout and commit
+    it as a new overwrite snapshot that removes every prior file. Readers
+    pinned to earlier snapshots still see the old files (run
+    expire_snapshots afterwards to reclaim them); the latest-read rows are
+    identical before and after (asserted in tests)."""
+    cur_files, _ = _snapshot_files(path, None)
+    df = read_table(spark, path).drop("p_bucket")
+    snap_id = uuid.uuid4().hex[:12]
+    data_dir = pathlib.Path(path) / f"data_{snap_id}"
+    out = df.withColumn("p_bucket", bucket_for(F.col(key), n_buckets))
+    # the bin-pack itself: route each hive partition's rows to one task so
+    # the writer emits ONE file per (partition_cols, bucket), not one per
+    # input split that happens to hold some of its rows
+    (out.repartition(*partition_cols, "p_bucket")
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols, "p_bucket")
+        .parquet(str(data_dir)))
+    new_files = [str(p.relative_to(path)) for p in data_dir.rglob("*.parquet")]
+    return _write_snapshot(
+        path, new_files, "replace",
+        list(partition_cols) + [f"bucket({key})%{n_buckets}"],
+        removed=list(cur_files), snap_id=snap_id,
+        schema=[[f.name, f.dataType.simpleString()] for f in df.schema])
+
+
 def incremental_read(spark: SparkSession, path: str, from_snapshot: str,
                      to_snapshot: str | None = None) -> DataFrame:
     """Iceberg incremental scan: the rows ADDED strictly after

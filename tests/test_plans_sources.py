@@ -401,3 +401,50 @@ def test_iceberg_shim_schema_evolution_add_column(spark, smoke_images,
     cols0 = {c for c, _ in shim._snapshot_files(tbl, None)[1][0]["schema"]}
     cols1 = {c for c, _ in shim._snapshot_files(tbl, None)[1][1]["schema"]}
     assert "license" not in cols0 and "license" in cols1
+
+
+def test_iceberg_shim_compact_and_expire(spark, smoke_images, tmp_path):
+    """Table maintenance (real-Iceberg rewrite_data_files + expireSnapshots
+    semantics): many small appends → compaction rewrites the current rows
+    into a fresh layout as a new snapshot (latest rows identical, earlier
+    snapshots still readable), then expiry drops old snapshot metadata and
+    deletes every file no surviving snapshot references — time travel to
+    expired snapshots stops working, the survivor keeps its exact rows."""
+    import pytest as _pytest
+    images = spark.read.parquet(smoke_images).select("image_id", "fmt", "w")
+    tbl = str(tmp_path / "maint_table")
+    rows = images.collect()
+    snap0 = shim.write_table(spark.createDataFrame(rows[:5], images.schema),
+                             tbl, n_buckets=4)
+    for i in range(5, len(rows), 5):
+        shim.append(spark.createDataFrame(rows[i:i + 5], images.schema),
+                    tbl, n_buckets=4)
+    before = {r.image_id for r in shim.read_table(spark, tbl).collect()}
+    n_files_before = shim.files_table(spark, tbl).count()
+
+    shim.compact_data_files(spark, tbl, n_buckets=4)
+    after = {r.image_id for r in shim.read_table(spark, tbl).collect()}
+    assert after == before
+    n_files_after = shim.files_table(spark, tbl).count()
+    assert n_files_after < n_files_before
+    # pre-compaction snapshot still time-travels (files not yet reclaimed)
+    assert shim.read_table(spark, tbl, snapshot_id=snap0).count() == 5
+
+    # keep_last=2 keeps a PRE-compaction snapshot alive, whose fold-down
+    # still references every old file — nothing may be deleted yet
+    res2 = shim.expire_snapshots(tbl, keep_last=2)
+    assert res2["expired"] == 9 and res2["deleted_files"] == 0
+    assert shim.read_table(spark, tbl).count() == len(rows)
+    # keep_last=1 leaves only the compaction snapshot → every pre-compaction
+    # file is unreferenced and reclaimed
+    res = shim.expire_snapshots(tbl, keep_last=1)
+    assert res["expired"] == 1 and res["deleted_files"] > 0
+    # latest unchanged; expired snapshot gone; survivor folded correctly
+    assert {r.image_id
+            for r in shim.read_table(spark, tbl).collect()} == before
+    with _pytest.raises(KeyError):
+        shim.read_table(spark, tbl, snapshot_id=snap0)
+    # every file the survivors reference still exists on disk
+    import pathlib as _pl
+    for r in shim.files_table(spark, tbl).collect():
+        assert (_pl.Path(tbl) / r.file).exists()
