@@ -72,7 +72,7 @@ def main() -> None:
     from cogger_spark.session import get_spark
     from cogger_spark import queries as Q
     from cogger_spark.operators import spatial
-    from cogger_spark.operators.tiling import cog_pipeline, tile_images
+    from cogger_spark.operators.tiling import cog_pipeline
     import pyspark.sql.functions as F
 
     sf = _sf_of(args.sf_dir)

@@ -95,7 +95,7 @@ def main(argv=None) -> int:
             print(f"convert: {len(recs)} buckets processed this run")
     elif args.cmd == "rewrite":
         from cogger_spark.operators.tiling import (
-            rewrite_tiff_sets, rewrite_tiffs, rewrite_tiffs_to_dir)
+            rewrite_tiff_sets, rewrite_tiffs_to_dir)
         from cogger_spark.sources.tiffdir import (
             read_tiff_dir, read_tiff_sets_dir, write_tiff_dir)
         ghost = not args.no_ghost

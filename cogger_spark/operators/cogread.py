@@ -17,7 +17,6 @@ from __future__ import annotations
 import zlib
 from typing import Iterator
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 

@@ -24,7 +24,7 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql.types import ArrayType, LongType
 
 MINHASH_PERMS = 64

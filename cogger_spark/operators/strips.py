@@ -31,9 +31,9 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from ..functions.imagecodecs import cut_tiles, decode_image, downsample2x, encode_image
+from ..functions.imagecodecs import cut_tiles, downsample2x, encode_image
 from ..planner import Stripper
-from .tiling import TILE_SCHEMA, infer_planes
+from .tiling import TILE_SCHEMA
 
 STRIP_SCHEMA = (
     "image_id string, level int, strip_id int, top_row int, strip_h int, "

@@ -50,7 +50,7 @@ from ..functions.imagecodecs import (
     decode_image,
     encode_image,
 )
-from ..tiff.codec import IFD, Config, rewrite_ifd_tree
+from ..tiff.codec import IFD, Config
 
 TILE_SCHEMA = (
     "image_id string, level int, plane int, ty int, tx int, "

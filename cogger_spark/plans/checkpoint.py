@@ -17,7 +17,7 @@ from __future__ import annotations
 import json
 import pathlib
 import time
-from typing import Callable, Sequence
+from typing import Callable
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
