@@ -206,3 +206,24 @@ def test_ann_ivf_pq_recall_vs_brute_force(spark):
     recalls = [len(bf_sets[q] & iq_sets.get(q, set())) / len(bf_sets[q])
                for q in bf_sets]
     assert sum(recalls) / len(recalls) >= 0.3
+
+
+@pytest.mark.parametrize("nparts", [1, 3, 64])
+def test_distributed_running_sum_matches_local(spark, nparts):
+    """The prefix-sum primitive behind pack_sequences/vocab_counts, pinned
+    against a local cumsum at adversarial partition counts (1 = degenerate
+    single partition, 3 = uneven ranges, 64 = more partitions than rows in
+    some ranges → empty partitions must contribute zero offsets)."""
+    import pandas as pd
+
+    from cogger_spark.operators.text import _distributed_running_sum
+
+    rows = [(i * 7 % 101, (i * 13) % 17 + 1) for i in range(101)]  # unique keys
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = (_distributed_running_sum(df, ["k"], "v", "cum",
+                                    num_partitions=nparts)
+           .toPandas().sort_values("k").reset_index(drop=True))
+    want = (pd.DataFrame(rows, columns=["k", "v"]).sort_values("k")
+            .reset_index(drop=True))
+    want["cum"] = want["v"].cumsum()
+    assert got["cum"].tolist() == want["cum"].tolist()
