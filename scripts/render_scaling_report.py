@@ -22,6 +22,10 @@ REPO = pathlib.Path(__file__).parent.parent
 def load(path):
     p = pathlib.Path(path)
     if not p.exists():
+        # fall back to the in-repo archive (BENCH/raw/) so the report stays
+        # reproducible after /tmp is cleaned
+        p = REPO / "BENCH" / "raw" / pathlib.Path(path).name
+    if not p.exists():
         return []
     return [json.loads(l) for l in p.read_text().splitlines() if l.strip()]
 
