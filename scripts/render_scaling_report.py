@@ -33,7 +33,13 @@ def load(path):
 def main() -> None:
     sessions = load(sys.argv[1] if len(sys.argv) > 1
                     else "/tmp/scaling_sessions_r4.jsonl")
-    sweeps = load("/tmp/scaling_ab_r4a.jsonl") + load("/tmp/scaling_ab_r4b.jsonl")
+    # tag records with their sweep so same-config pairs from different
+    # sweeps BOTH render (ADVICE r4: config-only keying silently dropped
+    # the first-sweep split4m pair — the best-efficiency pair)
+    sweeps = [dict(r, _sweep=tag)
+              for tag, name in (("a", "/tmp/scaling_ab_r4a.jsonl"),
+                                ("b", "/tmp/scaling_ab_r4b.jsonl"))
+              for r in load(name)]
 
     srows = []
     for i, r in enumerate(sessions, 1):
@@ -48,24 +54,28 @@ def main() -> None:
 
     pairs = {}
     for r in sweeps:
-        pairs.setdefault(r["config"], {})[r["cores"]] = r
-    crows = []
-    for name, p in pairs.items():
+        pairs.setdefault((r["_sweep"], r["config"]), {})[r["cores"]] = r
+    crows, sweep_effs = [], []
+    for (tag, name), p in pairs.items():
         if 8 not in p or 32 not in p:
             continue
         lo, hi = p[8], p[32]
         ratio = hi["img_s"] / lo["img_s"]
         granted = hi["avg_cpus_busy"] / lo["avg_cpus_busy"]
+        eff_granted = round(ratio / granted, 3)
+        sweep_effs.append(eff_granted)
         crows.append(
-            f"| {name} | {lo['img_s']} ({lo['avg_cpus_busy']}) | "
+            f"| {name} ({tag}) | {lo['img_s']} ({lo['avg_cpus_busy']}) | "
             f"{hi['img_s']} ({hi['avg_cpus_busy']}) | {round(ratio / 4, 3)} | "
-            f"{round(ratio / granted, 3)} |")
+            f"{eff_granted} |")
 
     effs = [r["eff_granted"] for r in sessions]
     norms = [round((r["best"]["32"]["img_s"] / r["best"]["8"]["img_s"])
                    / r["control_speedup"], 3) for r in sessions]
     best_abs = max((r["best"]["32"]["img_s"] for r in sessions), default=0)
-    sweep_best_eff = 0.770  # split4m pair, first (least-contended) sweep
+    # best granted-CPU efficiency across ALL rendered pairs — computed from
+    # the archive, never hard-coded (ADVICE r4: the constant would drift)
+    sweep_best_eff = max(sweep_effs, default=0.0)
 
     md = f"""# BENCH — measured numbers (this sandbox), round 4
 
