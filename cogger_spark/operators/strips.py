@@ -240,9 +240,20 @@ def tile_images_strips(images: DataFrame, tile: int = 512,
                      math.ceil(math.log2(max(int(max_dims[0]), 1) / tile)),
                      math.ceil(math.log2(max(int(max_dims[1]), 1) / tile)))
         depth = min(max_levels, k_tile + 1)
-    level0 = strips_level0(images, tile=tile, target_px=target_px)
-    # localCheckpoint would cut lineage on a real cluster run; at these sizes
-    # the rebuilt lineage is cheaper than materialization.
+    # Fan the level-0 strips out of their decode partitions: the decode is
+    # one task per scan split (often one per IMAGE — a sequential blob can't
+    # be split), and without this exchange every downstream narrow stage —
+    # level-0 tile cutting + encode, the dominant kernel, and the level-1
+    # route's payload decompress — stays at image-level parallelism,
+    # serializing a 0.5-gigapixel image behind one core. The shuffle moves
+    # only zlib-packed strips (cheap vs the encode CPU it parallelizes), and
+    # as an exchange boundary it is REUSED by both consumers (the tiles
+    # union and the level-1 route), so each image decodes exactly once
+    # instead of once per pyramid branch. Level>=1 strips are already
+    # spread by their groupBy(image_id, child_id) exchange.
+    slots = images.sparkSession.sparkContext.defaultParallelism
+    level0 = (strips_level0(images, tile=tile, target_px=target_px)
+              .repartition(2 * slots, "image_id", "strip_id"))
     frames = [level0]
     current = level0
     for lvl in range(1, depth):

@@ -858,6 +858,18 @@ def assemble_cog_parts(tiles: DataFrame, tile: int = 512,
     all parts equals the assemble_cogs blob exactly (tested)."""
     comp_tag = 1 if compression == "raw" else 8
 
+    # Materialize the encoded tiles ONCE: the header branch (groupBy
+    # image_id over metadata) and the ranked-chunks branch (window
+    # partitionBy image_id over payloads) would otherwise each recompute the
+    # whole upstream decode→pyramid→encode lineage — the dominant kernel —
+    # and their differing column pruning defeats exchange reuse. An eager
+    # localCheckpoint stores one copy of the (compressed-payload) tiles and
+    # cuts the lineage for both consumers; blocks are ContextCleaner-
+    # released when the frame is garbage collected. Storage is bounded by
+    # the ENCODED tile bytes (≈ input size for real imagery), the standard
+    # price of a two-consumer assembly.
+    tiles = tiles.localCheckpoint(eager=True)
+
     meta_cols = ["image_id", "level", "plane", "ty", "tx", "level_w",
                  "level_h", "n_levels", "planes", "has_mask", "byte_count"]
 
