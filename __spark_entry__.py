@@ -100,6 +100,9 @@ def oracle_sql() -> dict[str, str]:
         # repeated-passage detection: corpus-duplicated 5-grams + per-doc
         # contamination ratio (linear explode + hash agg, no pairwise work)
         "duplicate_ngrams": o.DUPLICATE_NGRAMS,
+        "tfidf_top_terms": o.TFIDF_TOP_TERMS,
+        "unigram_commonness": o.UNIGRAM_COMMONNESS,
+        "benchmark_contamination": o.BENCHMARK_CONTAMINATION,
         # deterministic (hash-thresholded) data mixing + boundary-agnostic
         # causal-LM sequence packing (global token cumsum)
         "stratified_sample": o.STRATIFIED_SAMPLE,

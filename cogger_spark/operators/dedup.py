@@ -367,6 +367,41 @@ def duplicate_ngrams(docs: DataFrame, n: int = 5,
             .filter(F.col("n_docs") >= min_docs))
 
 
+def benchmark_contamination(docs: DataFrame, benchmark_source: str = "src0",
+                            n: int = 5) -> DataFrame:
+    """Benchmark decontamination scan — the step every training-data
+    pipeline runs before release: for each candidate document, the fraction
+    of its distinct word n-grams that also appear in a held-out BENCHMARK
+    set (here: the docs whose `source` equals benchmark_source; in
+    production, the eval suites). Documents with high contamination are
+    quarantined so evaluation stays honest.
+
+    Scale shape: benchmark grams are a distinct-set aggregate (usually
+    small — benchmark suites are MBs, not TBs) joined back onto the
+    candidates' exploded distinct grams as an equi-join; linear in corpus
+    tokens, no pairwise work. (At 100 TB the join key would be
+    xxhash64(gram) with the string dropped; the string key here keeps the
+    SQL oracle byte-exact.)"""
+    grams = (docs.filter(F.size(F.split(F.col("text"), " ")) >= n)
+             .select("doc_id", "source",
+                     _ngram_set(F.col("text"), n).alias("grams")))
+    bench = (grams.filter(F.col("source") == benchmark_source)
+             .select(F.explode("grams").alias("ngram")).distinct())
+    cand = grams.filter(F.col("source") != benchmark_source)
+    exploded = cand.select("doc_id", F.explode("grams").alias("ngram"))
+    hits = (exploded.join(bench, "ngram")
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_contaminated")))
+    totals = cand.select("doc_id", F.size("grams").alias("n_grams"))
+    return (totals.join(hits, "doc_id", "left")
+            .withColumn("n_contaminated",
+                        F.coalesce("n_contaminated", F.lit(0)))
+            .withColumn("contamination",
+                        F.round(F.col("n_contaminated") / F.col("n_grams"), 9))
+            .select("doc_id", F.col("n_grams").cast("long").alias("n_grams"),
+                    F.col("n_contaminated").cast("long")
+                    .alias("n_contaminated"), "contamination"))
+
+
 def duplicated_span_ratio(docs: DataFrame, n: int = 5,
                           min_docs: int = 2) -> DataFrame:
     """Per-document contamination score: the fraction of a document's

@@ -264,6 +264,70 @@ def bigram_counts(docs: DataFrame, top_n: int = 100) -> DataFrame:
             .withColumn("rank", F.row_number().over(w).cast("long")))
 
 
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-k characteristic terms by tf-idf — the keyword /
+    topic-signal extractor of a curation pipeline. idf uses the RATIONAL
+    surrogate (N - df) / (df + 1) instead of log(N/df): it shares the two
+    properties the ranking depends on — strictly decreasing in df, and
+    exactly ZERO for corpus-ubiquitous terms (df = N), so stopwords can
+    never outrank a document-specific term — while staying in +,*,/ so the
+    score is bit-reproducible across engines and the DuckDB oracle matches
+    exactly (transcendental libm/Math.log last-ulp differences are the one
+    thing round() cannot fully absorb).
+
+    Scale shape: explode → per-(doc,token) hash aggregate with map-side
+    partials → document-frequency aggregate (vocabulary-sized, broadcast
+    back) → per-doc rank window PARTITIONED BY doc_id (bounded by a single
+    document's vocabulary — never a global sort). Deterministic tiebreak:
+    score desc, token asc."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+    n_docs = docs.count()
+    tf = (docs.select("doc_id", F.explode(_toks()).alias("token"))
+          .groupBy("doc_id", "token")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
+    scored = (tf.join(broadcast(dfreq), "token")
+              .withColumn("score", F.round(
+                  F.col("tf") * (F.lit(float(n_docs)) - F.col("dfreq")) /
+                  (F.col("dfreq") + F.lit(1.0)), 6)))
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
+    return (scored.withColumn("term_rank",
+                              F.row_number().over(w).cast("long"))
+            .filter(F.col("term_rank") <= k)
+            .select("doc_id", "token", F.col("tf").cast("long").alias("tf"),
+                    "score", "term_rank"))
+
+
+def unigram_commonness(docs: DataFrame) -> DataFrame:
+    """Per-document unigram-LM commonness statistics — the cheap
+    fastText/KenLM-style quality-filter family, in exact rational
+    arithmetic: for each document, the mean and min CORPUS frequency of its
+    tokens, plus how many of its tokens are rarer than the corpus's mean
+    token frequency (rare-token ratio). Low mean-frequency / high
+    rare-ratio docs are the gibberish candidates a quality filter drops.
+
+    Scale shape: corpus token counts (vocabulary-sized) broadcast back
+    onto the exploded tokens; per-doc hash aggregate. No windows, no
+    sorts."""
+    from pyspark.sql.functions import broadcast
+    tok = docs.select("doc_id", F.explode(_toks()).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = counts.agg(F.sum("cnt").alias("total"),
+                       F.count(F.lit(1)).alias("vocab")).collect()[0]
+    total, vocab = int(stats["total"]), int(stats["vocab"])
+    mean_cnt = total / vocab  # exact: both engines compute the same double
+    joined = tok.join(broadcast(counts), "token")
+    return (joined.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                 F.round(F.avg("cnt"), 6).alias("mean_token_count"),
+                 F.min("cnt").cast("long").alias("min_token_count"),
+                 F.sum(F.when(F.col("cnt") < F.lit(mean_cnt), 1)
+                       .otherwise(0)).cast("long").alias("n_rare"))
+            .withColumn("rare_ratio",
+                        F.round(F.col("n_rare") / F.col("n_tokens"), 6)))
+
+
 def stratified_sample(docs: DataFrame, fractions: dict[str, float],
                       key: str = "lang") -> DataFrame:
     """Deterministic stratified sampling — the data-mixing step of a

@@ -755,6 +755,64 @@ FROM (SELECT doc_id, UNNEST(grams) AS ngram FROM d)
 GROUP BY ngram HAVING COUNT(DISTINCT doc_id) >= 2
 """
 
+TFIDF_TOP_TERMS = """
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, token),
+dfq AS (SELECT token, COUNT(*) AS dfreq FROM tf GROUP BY token),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+    ROUND(tf.tf * (n.n - dfq.dfreq) / (dfq.dfreq + 1.0), 6) AS score
+  FROM tf JOIN dfq ON tf.token = dfq.token CROSS JOIN n),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, token) AS BIGINT) AS term_rank
+  FROM scored)
+SELECT doc_id, token, tf, score, term_rank FROM ranked WHERE term_rank <= 3
+"""
+
+UNIGRAM_COMMONNESS = """
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents),
+counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
+s AS (SELECT SUM(cnt) * 1.0 / COUNT(*) AS mean_cnt FROM counts),
+j AS (SELECT tok.doc_id, counts.cnt FROM tok JOIN counts USING (token))
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  ROUND(AVG(cnt), 6) AS mean_token_count,
+  CAST(MIN(cnt) AS BIGINT) AS min_token_count,
+  CAST(SUM(CASE WHEN cnt < (SELECT mean_cnt FROM s) THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_rare,
+  ROUND(SUM(CASE WHEN cnt < (SELECT mean_cnt FROM s) THEN 1 ELSE 0 END)
+        / (COUNT(*) * 1.0), 6) AS rare_ratio
+FROM j GROUP BY doc_id
+"""
+
+BENCHMARK_CONTAMINATION = """
+WITH d AS (
+  SELECT doc_id, source, list_distinct(list_transform(
+    generate_series(1, len(string_split(text, ' ')) - 4),
+    i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS grams
+  FROM documents WHERE len(string_split(text, ' ')) >= 5
+),
+bench AS (
+  SELECT DISTINCT UNNEST(grams) AS ngram FROM d WHERE source = 'src0'),
+cand AS (SELECT * FROM d WHERE source <> 'src0'),
+e AS (SELECT doc_id, UNNEST(grams) AS ngram FROM cand),
+hits AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+  FROM e JOIN bench USING (ngram) GROUP BY doc_id)
+SELECT c.doc_id, CAST(len(c.grams) AS BIGINT) AS n_grams,
+  COALESCE(h.n_contaminated, 0) AS n_contaminated,
+  ROUND(COALESCE(h.n_contaminated, 0) / (len(c.grams) * 1.0), 9)
+    AS contamination
+FROM cand c LEFT JOIN hits h ON c.doc_id = h.doc_id
+"""
+
 DUP_SPAN_RATIO = """
 WITH d AS (
   SELECT doc_id, list_distinct(list_transform(

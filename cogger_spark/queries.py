@@ -223,6 +223,21 @@ def q_bigram_counts(spark, sf_dir):
     return bigram_counts(_tbl(spark, sf_dir, "documents"), top_n=100)
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    from .operators.text import tfidf_top_terms
+    return tfidf_top_terms(_tbl(spark, sf_dir, "documents"), k=3)
+
+
+def q_unigram_commonness(spark, sf_dir):
+    from .operators.text import unigram_commonness
+    return unigram_commonness(_tbl(spark, sf_dir, "documents"))
+
+
+def q_benchmark_contamination(spark, sf_dir):
+    from .operators.dedup import benchmark_contamination
+    return benchmark_contamination(_tbl(spark, sf_dir, "documents"))
+
+
 def q_exact_dedup_docs(spark, sf_dir):
     from .operators.dedup import exact_dedup
     return exact_dedup(_tbl(spark, sf_dir, "documents")).select(
@@ -357,6 +372,9 @@ DOC_QUERIES = {
     "doc_quality": q_doc_quality,
     "doc_langid": q_doc_langid,
     "doc_fingerprint": q_doc_fingerprint,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "unigram_commonness": q_unigram_commonness,
+    "benchmark_contamination": q_benchmark_contamination,
     "vocab_counts": q_vocab_counts,
     "bpe_merges": q_bpe_merges,           # unrolled recursive-CTE oracle
     "bigram_counts": q_bigram_counts,

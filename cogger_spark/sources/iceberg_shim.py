@@ -160,8 +160,21 @@ def write_table(df: DataFrame, path: str, n_buckets: int = 16,
                   overwrite=True)
 
 
-def append(df: DataFrame, path: str, n_buckets: int = 16,
-           partition_cols=("fmt",), overwrite: bool = False) -> str:
+def append(df: DataFrame, path: str, n_buckets: int | None = None,
+           partition_cols=None, overwrite: bool = False) -> str:
+    """Append a snapshot. Layout arguments default to the table's CURRENT
+    partition_spec (so appends after evolve_partition_spec pick up the new
+    layout automatically); on table creation they default to
+    (16, ("fmt",))."""
+    if n_buckets is None or partition_cols is None:
+        try:
+            spec_b, spec_cols, _ = _table_spec(path)
+        except (FileNotFoundError, OSError):
+            spec_b, spec_cols = 16, ("fmt",)
+        if n_buckets is None:
+            n_buckets = spec_b
+        if partition_cols is None:
+            partition_cols = spec_cols
     snap_id = uuid.uuid4().hex[:12]
     data_dir = pathlib.Path(path) / f"data_{snap_id}"
     out = df.withColumn(
@@ -288,7 +301,7 @@ def _write_snapshot(path, files: list[str], operation: str,
 
 
 def upsert(spark: SparkSession, df: DataFrame, path: str,
-           n_buckets: int = 16, partition_cols=("fmt",),
+           n_buckets: int | None = None, partition_cols=None,
            key: str = "image_id") -> str:
     """Row-level MERGE (matched → replace, unmatched → insert) with
     Iceberg's copy-on-write FILE granularity: only the bucket partitions
@@ -296,12 +309,16 @@ def upsert(spark: SparkSession, df: DataFrame, path: str,
     is carried into the new snapshot untouched (its bytes are never read or
     moved). Readers pinned to earlier snapshots keep seeing the old rows
     (snapshot isolation); the new snapshot lists the rewritten buckets'
-    files as removed + their replacements as added."""
-    cur_files, _ = _snapshot_files(path, None)
-    buckets = {r[0] for r in
-               df.select(bucket_for(F.col(key), n_buckets)).distinct().collect()}
-    affected = [f for f in cur_files
-                if any(f"/p_bucket={b}/" in f"/{f}" for b in buckets)]
+    files as removed + their replacements as added. Layout defaults come
+    from the table's current partition_spec; affected files are judged
+    under the spec of the snapshot that wrote them (spec evolution)."""
+    cur_files, chain = _snapshot_files(path, None)
+    spec_b, spec_cols, _sk = _table_spec(path)
+    if n_buckets is None:
+        n_buckets = spec_b
+    if partition_cols is None:
+        partition_cols = spec_cols
+    affected = _affected_files(df, key, cur_files, chain, n_buckets)
     kept = None
     if affected:
         by_root: dict[str, list[str]] = {}
@@ -333,13 +350,8 @@ def upsert(spark: SparkSession, df: DataFrame, path: str,
         schema=[[f.name, f.dataType.simpleString()] for f in merged.schema])
 
 
-def _table_spec(path) -> tuple[int, tuple[str, ...], str]:
-    """(n_buckets, partition_cols, bucket_key) parsed from the latest
-    snapshot's recorded partition_spec — the table, not the caller, owns its
-    layout (a caller-supplied modulus that disagrees with the written
-    p_bucket dirs would silently mis-prune the copy-on-write file set)."""
-    _, chain = _snapshot_files(path, None)
-    spec = chain[-1]["partition_spec"]
+def _parse_spec(spec: list) -> tuple[int, tuple[str, ...], str]:
+    """(n_buckets, partition_cols, bucket_key) from a recorded spec list."""
     n_buckets, key, cols = 16, "image_id", []
     for entry in spec:
         if entry.startswith("bucket(") and "%" in entry:
@@ -348,6 +360,62 @@ def _table_spec(path) -> tuple[int, tuple[str, ...], str]:
         else:
             cols.append(entry)
     return n_buckets, tuple(cols), key
+
+
+def _table_spec(path) -> tuple[int, tuple[str, ...], str]:
+    """The CURRENT spec: parsed from the latest snapshot's partition_spec —
+    the table, not the caller, owns its layout (a caller-supplied modulus
+    that disagrees with the written p_bucket dirs would silently mis-prune
+    the copy-on-write file set)."""
+    _, chain = _snapshot_files(path, None)
+    return _parse_spec(chain[-1]["partition_spec"])
+
+
+def evolve_partition_spec(path: str, n_buckets: int | None = None,
+                          partition_cols=None,
+                          key: str = "image_id") -> str:
+    """Iceberg partition-spec evolution (updateSpec): a METADATA-ONLY
+    commit — no data moves. Existing files keep the layout of the snapshot
+    that wrote them; writes after this commit use the new spec; and the
+    copy-on-write ops (upsert / merge_into) prune each file under ITS OWN
+    snapshot's spec, so a table whose bucket count changed mid-history
+    stays exactly correct. Omitted arguments carry the current value."""
+    cur_b, cur_cols, cur_key = _table_spec(path)
+    nb = n_buckets if n_buckets is not None else cur_b
+    pc = tuple(partition_cols) if partition_cols is not None else cur_cols
+    return _write_snapshot(path, [], "replace-spec",
+                           list(pc) + [f"bucket({key})%{nb}"])
+
+
+def _affected_files(source: DataFrame, key: str, cur_files: list,
+                    chain: list, n_buckets_latest: int) -> list:
+    """Files that can hold a source key, each judged under the spec of the
+    snapshot that WROTE it (partition-spec evolution means one table can mix
+    bucket moduli): the source's bucket set is computed once per distinct
+    modulus, and a file matches when its /p_bucket=<b>/ value is in the set
+    for its own modulus. Unknown roots are kept (conservative)."""
+    spec_of_root = {f"data_{rec['snapshot_id']}":
+                    _parse_spec(rec["partition_spec"])[0] for rec in chain}
+    moduli = set(spec_of_root.values()) | {n_buckets_latest}
+    buckets_by_mod = {
+        m: {r[0] for r in
+            source.select(bucket_for(F.col(key), m)).distinct().collect()}
+        for m in moduli}
+    out = []
+    for f in cur_files:
+        root = f.split("/", 1)[0]
+        mod = spec_of_root.get(root)
+        if mod is None:
+            out.append(f)
+            continue
+        seg = [p for p in f.split("/") if p.startswith("p_bucket=")]
+        if not seg:
+            out.append(f)
+            continue
+        b = int(seg[0].split("=", 1)[1])
+        if b in buckets_by_mod[mod]:
+            out.append(f)
+    return out
 
 
 def merge_into(spark: SparkSession, source: DataFrame, path: str,
@@ -392,12 +460,8 @@ def merge_into(spark: SparkSession, source: DataFrame, path: str,
         n_buckets = spec_buckets
     if partition_cols is None:
         partition_cols = spec_cols
-    cur_files, _ = _snapshot_files(path, None)
-    buckets = {r[0] for r in
-               source.select(bucket_for(F.col(on), n_buckets))
-                     .distinct().collect()}
-    affected = [f for f in cur_files
-                if any(f"/p_bucket={b}/" in f"/{f}" for b in buckets)]
+    cur_files, chain = _snapshot_files(path, None)
+    affected = _affected_files(source, on, cur_files, chain, n_buckets)
     tgt = None
     if affected:
         by_root: dict[str, list[str]] = {}

@@ -47,6 +47,9 @@ ORACLE_CASES = [
     ("exact_dedup_docs", "EXACT_DEDUP_DOCS"),
     ("ngram_jaccard_pairs", "NGRAM_JACCARD_PAIRS"),
     ("duplicate_ngrams", "DUPLICATE_NGRAMS"),
+    ("tfidf_top_terms", "TFIDF_TOP_TERMS"),
+    ("unigram_commonness", "UNIGRAM_COMMONNESS"),
+    ("benchmark_contamination", "BENCHMARK_CONTAMINATION"),
     ("dup_span_ratio", "DUP_SPAN_RATIO"),
     ("stratified_sample", "STRATIFIED_SAMPLE"),
     ("pack_sequences", "PACK_SEQUENCES"),
@@ -254,3 +257,37 @@ def test_distributed_running_sum_matches_local(spark, nparts):
             .reset_index(drop=True))
     want["cum"] = want["v"].cumsum()
     assert got["cum"].tolist() == want["cum"].tolist()
+
+
+def test_benchmark_contamination_semantics(spark):
+    """A candidate that copies a benchmark passage scores 1.0; a disjoint
+    candidate scores 0.0; a half-overlap lands strictly between."""
+    from cogger_spark.operators.dedup import benchmark_contamination
+    bench_text = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (1, bench_text, "en", "src0", len(bench_text)),
+        (2, bench_text, "en", "srcX", len(bench_text)),              # copy
+        (3, "one two three four five six seven eight", "en", "srcX", 40),
+        (4, bench_text + " one two three four five six", "en", "srcX", 70),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    got = {r.doc_id: r for r in
+           benchmark_contamination(df, benchmark_source="src0").collect()}
+    assert set(got) == {2, 3, 4}  # benchmark docs are not scored
+    assert got[2].contamination == 1.0
+    assert got[3].contamination == 0.0
+    assert 0.0 < got[4].contamination < 1.0
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    """A term unique to one document must outrank corpus-wide terms in that
+    document's top-k (the point of idf)."""
+    from cogger_spark.operators.text import tfidf_top_terms
+    rows = [(1, "shared shared shared unique"), (2, "shared shared shared"),
+            (3, "shared shared shared")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    top = {(r.doc_id, r.term_rank): r.token
+           for r in tfidf_top_terms(df, k=1).collect()}
+    assert top[(1, 1)] == "unique"

@@ -676,3 +676,47 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     for k in want:
         assert got[k][0] == want[k][0], k
         assert abs(got[k][1] - want[k][1]) < 1e-6, k
+
+
+def test_iceberg_shim_partition_spec_evolution(spark, smoke_images, tmp_path):
+    """Iceberg partition-spec evolution (updateSpec — metadata-only): after
+    evolving bucket(image_id)%4 → %8, old files keep their layout, appends
+    pick up the new spec automatically, and upsert judges each file under the
+    spec of the snapshot that WROTE it — keys in old-layout files are found
+    via %4, keys in new-layout files via %8."""
+    images = spark.read.parquet(smoke_images).select("image_id", "fmt", "w")
+    tbl = str(tmp_path / "spec_evo")
+    first = images.orderBy("image_id").limit(20)
+    shim.write_table(first, tbl, n_buckets=4)
+    assert shim._table_spec(tbl)[0] == 4
+
+    shim.evolve_partition_spec(tbl, n_buckets=8)
+    assert shim._table_spec(tbl)[0] == 8
+
+    rest = images.join(first.select("image_id"), "image_id", "left_anti")
+    shim.append(rest, tbl)  # derives the evolved spec
+    files = [r.file for r in shim.files_table(spark, tbl).collect()]
+    old_roots = {f.split("/", 1)[0] for f in files if "/p_bucket=" in f}
+    assert len(old_roots) == 2  # one data dir per layout
+    latest = shim.read_table(spark, tbl)
+    assert latest.count() == images.count()
+
+    # upsert keys that live in BOTH layouts
+    ids = ([r.image_id for r in first.select("image_id").limit(2).collect()]
+           + [r.image_id for r in rest.select("image_id")
+              .orderBy("image_id").limit(2).collect()])
+    upd = (images.filter(F.col("image_id").isin(ids))
+           .withColumn("w", F.lit(-1)))
+    shim.upsert(spark, upd, tbl)
+    got = {r.image_id: r.w for r in shim.read_table(spark, tbl).collect()}
+    assert len(got) == images.count()
+    assert all(got[i] == -1 for i in ids)
+
+    # merge with a predicate across both layouts
+    src = (images.filter(F.col("image_id").isin(ids))
+           .withColumn("w", F.lit(-2)))
+    shim.merge_into(spark, src, tbl, on="image_id",
+                    matched_condition="t.w = -1")
+    got2 = {r.image_id: r.w for r in shim.read_table(spark, tbl).collect()}
+    assert all(got2[i] == -2 for i in ids)
+    assert len(got2) == images.count()
