@@ -720,3 +720,77 @@ def test_iceberg_shim_partition_spec_evolution(spark, smoke_images, tmp_path):
     got2 = {r.image_id: r.w for r in shim.read_table(spark, tbl).collect()}
     assert all(got2[i] == -2 for i in ids)
     assert len(got2) == images.count()
+
+
+def test_iceberg_shim_randomized_model_equivalence(spark, tmp_path):
+    """Model-based randomized check: a seeded random interleaving of
+    append / upsert / merge_into(update|delete) / evolve_partition_spec /
+    compact_data_files / expire_snapshots must leave the table's latest
+    read equal to a plain
+    Python dict model applying the same operations — across bucket-spec
+    changes and schema evolution. Three seeds, ~8 ops each."""
+    import random
+
+    def run_seed(seed, tbl):
+        rng = random.Random(seed)
+        model = {}  # image_id -> (fmt, w)
+
+        def mk_df(rows):
+            return spark.createDataFrame(
+                [(i, f, w) for i, (f, w) in rows.items()],
+                "image_id string, fmt string, w int")
+
+        init = {f"img_{seed}_{i:03d}": (rng.choice(["raw", "deflate"]),
+                                        rng.randrange(1, 100))
+                for i in range(20)}
+        model.update(init)
+        shim.write_table(mk_df(init), tbl, n_buckets=rng.choice([2, 4]))
+
+        for _step in range(8):
+            op = rng.choice(["append", "upsert", "merge_upd", "merge_del",
+                             "evolve", "compact", "expire"])
+            if op == "append":
+                new = {f"img_{seed}_a{_step}_{i}": ("raw", rng.randrange(100))
+                       for i in range(rng.randrange(1, 5))}
+                model.update(new)
+                shim.append(mk_df(new), tbl)
+            elif op == "upsert":
+                ids = rng.sample(sorted(model), min(4, len(model)))
+                rows = {i: (model[i][0], -_step) for i in ids}
+                rows[f"img_{seed}_u{_step}"] = ("raw", 999)
+                model.update(rows)
+                shim.upsert(spark, mk_df(rows), tbl)
+            elif op in ("merge_upd", "merge_del"):
+                ids = rng.sample(sorted(model), min(3, len(model)))
+                rows = {i: (model[i][0], -100 - _step) for i in ids}
+                rows[f"img_{seed}_m{_step}"] = ("deflate", 777)
+                cond = "t.w >= 0"
+                if op == "merge_upd":
+                    for i in ids:
+                        if model[i][1] >= 0:
+                            model[i] = rows[i]
+                    model[f"img_{seed}_m{_step}"] = rows[f"img_{seed}_m{_step}"]
+                    shim.merge_into(spark, mk_df(rows), tbl, on="image_id",
+                                    matched_condition=cond)
+                else:
+                    for i in ids:
+                        if model[i][1] >= 0:
+                            del model[i]
+                    shim.merge_into(spark, mk_df(rows), tbl, on="image_id",
+                                    matched_condition=cond,
+                                    when_matched="delete",
+                                    when_not_matched="ignore")
+            elif op == "evolve":
+                shim.evolve_partition_spec(tbl,
+                                           n_buckets=rng.choice([2, 4, 8]))
+            elif op == "compact":
+                shim.compact_data_files(
+                    spark, tbl, n_buckets=shim._table_spec(tbl)[0])
+            elif op == "expire":
+                shim.expire_snapshots(tbl, keep_last=rng.choice([1, 2]))
+            got = {r.image_id: (r.fmt, r.w)
+                   for r in shim.read_table(spark, tbl).collect()}
+            assert got == model, f"seed={seed} step={_step} op={op}"
+
+    for seed in (7, 23, 99):
+        run_seed(seed, str(tmp_path / f"model_{seed}"))
