@@ -240,25 +240,37 @@ def tile_images_strips(images: DataFrame, tile: int = 512,
                      math.ceil(math.log2(max(int(max_dims[0]), 1) / tile)),
                      math.ceil(math.log2(max(int(max_dims[1]), 1) / tile)))
         depth = min(max_levels, k_tile + 1)
-    # Fan the level-0 strips out of their decode partitions: the decode is
-    # one task per scan split (often one per IMAGE — a sequential blob can't
-    # be split), and without this exchange every downstream narrow stage —
-    # level-0 tile cutting + encode, the dominant kernel, and the level-1
-    # route's payload decompress — stays at image-level parallelism,
-    # serializing a 0.5-gigapixel image behind one core. The shuffle moves
-    # only zlib-packed strips (cheap vs the encode CPU it parallelizes), and
-    # as an exchange boundary it is REUSED by both consumers (the tiles
-    # union and the level-1 route), so each image decodes exactly once
-    # instead of once per pyramid branch. Level>=1 strips are already
-    # spread by their groupBy(image_id, child_id) exchange.
+    # Two structural rules keep the gigapixel path at full width and at
+    # exactly-once compute (event-log verified — without them the decode
+    # scan ran once PER PYRAMID BRANCH and the kernel stage had a 4x skew
+    # straggler):
+    #
+    # 1. FAN OUT level-0 strips from their decode partitions. The decode is
+    #    one task per scan split (one per IMAGE — a sequential blob can't be
+    #    split), and without the repartition every downstream narrow stage —
+    #    level-0 tile cutting + encode, the dominant kernel, and the level-1
+    #    route's payload decompress — stays at image-level parallelism,
+    #    serializing a 0.5-gigapixel image behind one core. 4x parallelism
+    #    partitions keep the expected strips-per-task near 1 so the hash-
+    #    placement Poisson tail can't create a multi-strip straggler.
+    # 2. CHECKPOINT each level once. Every level feeds TWO consumers (its
+    #    tiles-union branch and the next level's route); Catalyst's exchange
+    #    reuse does not survive the branches' differing column pruning, so
+    #    without a materialization boundary each level — including the
+    #    whole-image decode — computes once per branch. The stored bytes are
+    #    the zlib-packed strips (≈ input-sized), the standard price of a
+    #    multi-consumer pyramid; blocks are ContextCleaner-released when the
+    #    frames are garbage collected.
     slots = images.sparkSession.sparkContext.defaultParallelism
     level0 = (strips_level0(images, tile=tile, target_px=target_px)
-              .repartition(2 * slots, "image_id", "strip_id"))
+              .repartition(4 * slots, "image_id", "strip_id")
+              .localCheckpoint(eager=True))
     frames = [level0]
     current = level0
     for lvl in range(1, depth):
         nxt = next_level_strips(current, lvl, tile=tile, target_px=target_px)
-        nxt = nxt.filter(F.col("level") < F.col("n_levels"))
+        nxt = (nxt.filter(F.col("level") < F.col("n_levels"))
+               .localCheckpoint(eager=True))
         frames.append(nxt)
         current = nxt
     all_strips = frames[0]
