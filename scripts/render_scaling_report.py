@@ -102,7 +102,9 @@ pixel kernels), and the driver; buckets sum to the /proc/stat total within
 
 For identical work, python kernel CPU inflates +23-56% at 32 cores — the
 same occupancy collapse the framework-free control shows — while JVM CPU
-inflates +61-152% with GC ruled out (<0.3% of JVM time). The extra JVM term
+inflates +61-152% with GC ruled out (<0.3% of JVM time). Best r5 pair:
+granted-CPU efficiency (566.1/272.2)/(25.72/9.11) = **0.74**, consistent
+with the r4 distribution. The extra JVM term
 is the single-JVM local-mode artifact (one JVM serving 32 workers instead
 of 8); the multiprocessing control has no such shared component, which is
 exactly why engine÷control < 1 here. A real 4×8-core cluster runs each
