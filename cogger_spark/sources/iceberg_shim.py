@@ -312,6 +312,7 @@ def upsert(spark: SparkSession, df: DataFrame, path: str,
     files as removed + their replacements as added. Layout defaults come
     from the table's current partition_spec; affected files are judged
     under the spec of the snapshot that wrote them (spec evolution)."""
+    _check_unique_keys(df, key)
     cur_files, chain = _snapshot_files(path, None)
     spec_b, spec_cols, _sk = _table_spec(path)
     if n_buckets is None:
@@ -389,11 +390,21 @@ def evolve_partition_spec(path: str, n_buckets: int | None = None,
 
 def _affected_files(source: DataFrame, key: str, cur_files: list,
                     chain: list, n_buckets_latest: int) -> list:
-    """Files that can hold a source key, each judged under the spec of the
-    snapshot that WROTE it (partition-spec evolution means one table can mix
-    bucket moduli): the source's bucket set is computed once per distinct
-    modulus, and a file matches when its /p_bucket=<b>/ value is in the set
-    for its own modulus. Unknown roots are kept (conservative)."""
+    """Files that can hold a source key — the COW scan plan. Two prunes,
+    both exactly how real Iceberg plans a MERGE target scan:
+
+    * bucket pruning, with each file judged under the spec of the snapshot
+      that WROTE it (partition-spec evolution means one table can mix
+      moduli): the source's bucket set is computed once per distinct
+      modulus, and a file matches when its /p_bucket=<b>/ value is in the
+      set for its own modulus;
+    * key-range pruning from the manifest's per-file column bounds: a file
+      whose recorded [min,max] for the key column cannot overlap the
+      source's key range is carried untouched even inside a matching
+      bucket. Uses only the source's min/max (one tiny agg) so the check
+      stays O(1) however large the source is.
+
+    Unknown roots / missing stats are kept (conservative)."""
     spec_of_root = {f"data_{rec['snapshot_id']}":
                     _parse_spec(rec["partition_spec"])[0] for rec in chain}
     moduli = set(spec_of_root.values()) | {n_buckets_latest}
@@ -401,6 +412,11 @@ def _affected_files(source: DataFrame, key: str, cur_files: list,
         m: {r[0] for r in
             source.select(bucket_for(F.col(key), m)).distinct().collect()}
         for m in moduli}
+    kr = source.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).collect()[0]
+    src_lo, src_hi = kr["lo"], kr["hi"]
+    stats: dict[str, dict] = {}
+    for rec in chain:
+        stats.update(rec.get("file_stats", {}))
     out = []
     for f in cur_files:
         root = f.split("/", 1)[0]
@@ -413,9 +429,27 @@ def _affected_files(source: DataFrame, key: str, cur_files: list,
             out.append(f)
             continue
         b = int(seg[0].split("=", 1)[1])
-        if b in buckets_by_mod[mod]:
-            out.append(f)
+        if b not in buckets_by_mod[mod]:
+            continue
+        bounds = stats.get(f, {}).get(key)
+        if (bounds is not None and src_lo is not None
+                and (bounds[1] < src_lo or bounds[0] > src_hi)):
+            continue  # key range proves no source row can live here
+        out.append(f)
     return out
+
+
+def _check_unique_keys(source: DataFrame, key: str) -> None:
+    """Iceberg MERGE raises when multiple source rows match one target row;
+    the shim enforces the same contract up front (a duplicated key would
+    silently duplicate the joined target row instead)."""
+    dup = (source.groupBy(key).count().filter(F.col("count") > 1)
+           .limit(1).collect())
+    if dup:
+        raise ValueError(
+            f"source has multiple rows for {key}={dup[0][0]!r}; MERGE/upsert "
+            f"requires key-unique sources (Iceberg: 'multiple source rows "
+            f"matched')")
 
 
 def merge_into(spark: SparkSession, source: DataFrame, path: str,
@@ -443,8 +477,8 @@ def merge_into(spark: SparkSession, source: DataFrame, path: str,
       drops the row.
     * `when_not_matched`: "insert" appends unmatched source rows, "ignore"
       drops them.
-    * Source rows must be unique on `on` (Iceberg raises on multi-match;
-      here the join would duplicate the target row — same contract).
+    * Source rows must be unique on `on` — enforced up front with the same
+      error real Iceberg gives ('multiple source rows matched').
 
     Schema evolution composes: a source carrying new columns null-backfills
     them for untouched rows, and affected buckets spanning pre-/post-
@@ -455,6 +489,7 @@ def merge_into(spark: SparkSession, source: DataFrame, path: str,
     if when_not_matched not in ("insert", "ignore"):
         raise ValueError(
             f"when_not_matched must be insert|ignore: {when_not_matched}")
+    _check_unique_keys(source, on)
     spec_buckets, spec_cols, _ = _table_spec(path)
     if n_buckets is None:
         n_buckets = spec_buckets
