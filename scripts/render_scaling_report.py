@@ -31,8 +31,9 @@ def load(path):
 
 
 def main() -> None:
-    sessions = load(sys.argv[1] if len(sys.argv) > 1
-                    else "/tmp/scaling_sessions_r4.jsonl")
+    sessions = (load(sys.argv[1] if len(sys.argv) > 1
+                     else "/tmp/scaling_sessions_r4.jsonl")
+                + load("/tmp/scaling_sessions_r5.jsonl"))
     # tag records with their sweep so same-config pairs from different
     # sweeps BOTH render (ADVICE r4: config-only keying silently dropped
     # the first-sweep split4m pair — the best-efficiency pair)
@@ -122,7 +123,8 @@ job (the flagship `cog_pipeline` over 19200 images, ~68 GB decoded pixels,
 shuffle partitions = cores, pixel-scan splits 4m (the r4 A/B winner, below),
 TWO interleaved reps per level per session (lo,hi,lo,hi — best-of-2), plus an
 in-session framework-free control (identical pixel kernel under plain
-`multiprocessing`). {len(sessions)} full sessions, ALL reported:
+`multiprocessing`). {len(sessions)} full sessions (15 from r4 + the rest
+from r5, post strip-path optimizations), ALL reported:
 
 | session | img/s @8 | img/s @32 | CPUs busy @8 | @32 | raw eff (÷4) | eff on granted CPUs | control speedup 8→32 | control per-proc speed @32 vs @8 | engine ÷ control |
 |---|---|---|---|---|---|---|---|---|---|
