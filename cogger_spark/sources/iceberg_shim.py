@@ -11,10 +11,18 @@ actually relies on, over plain partitioned parquet:
   listing its files; reads pin a snapshot (default: latest) and only read
   its files;
 * metadata tables: snapshots / files (row counts per partition);
-* row-level ops: upsert = copy-on-write MERGE at FILE granularity (only the
-  bucket partitions holding affected keys are rewritten; all other files
-  carry into the new snapshot untouched) with `removed` file lists folded
-  by readers in sequence order;
+* row-level ops: upsert + predicate MERGE INTO (merge_into), copy-on-write
+  at FILE granularity — the target scan is pruned by bucket (under each
+  file's OWN snapshot spec) AND by manifest key-range bounds; all other
+  files carry into the new snapshot untouched, with `removed` file lists
+  folded by readers in sequence order; key-duplicated sources are rejected
+  (Iceberg's 'multiple source rows matched');
+* scan planning: file-level column min/max recorded at commit
+  (plan_files / read_table(filters=...) data skipping);
+* evolution: add-column schema evolution (null backfill) and metadata-only
+  partition-spec evolution (evolve_partition_spec);
+* maintenance: crash-safe snapshot expiry + orphan reclaim, bin-pack
+  compaction;
 * incremental scans: rows added strictly between two snapshots.
 
 The public API (write_table / append / read_table / snapshots) is the seam:
