@@ -58,6 +58,12 @@ def main() -> None:
         ("vocab_counts",
          "explode → partial/final hash agg → distributed prefix count for "
          "the global rank — no single-task sort of the vocabulary (r4)"),
+        ("tfidf_top_terms",
+         "per-(doc,token) agg → broadcast vocabulary-sized df join → rank "
+         "window PARTITIONED BY doc_id (bounded by one doc's vocabulary)"),
+        ("benchmark_contamination",
+         "distinct-gram explode → broadcast benchmark-gram equi-join → "
+         "per-doc hash agg; linear, no pairwise work (r5)"),
     ]
 
     out = ["# PLANS — captured physical plans (explain format)\n",

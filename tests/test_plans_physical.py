@@ -156,3 +156,27 @@ def test_bigram_rank_bounded_by_take_ordered(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _plan(bigram_counts(docs, top_n=100))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_tfidf_rank_window_partitioned_by_doc(spark):
+    """tfidf's rank window must be PARTITIONED BY doc_id (bounded by one
+    document's vocabulary) — never a global-order window — and the
+    vocabulary-sized document-frequency side must broadcast."""
+    from cogger_spark.operators.text import tfidf_top_terms
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(tfidf_top_terms(docs))
+    assert "SinglePartition" not in plan, plan
+    assert "windowspecdefinition(doc_id" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_contamination_broadcast_join_no_pairwise(spark):
+    """benchmark_contamination joins exploded candidate grams against the
+    (small) benchmark gram set — a broadcast equi-join, never a sort-merge
+    of the full gram relation or any cartesian shape."""
+    from cogger_spark.operators.dedup import benchmark_contamination
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(benchmark_contamination(docs))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
