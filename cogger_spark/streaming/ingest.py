@@ -157,6 +157,44 @@ def stream_sessionize(spark: SparkSession, in_dir: str, out_dir: str,
      .awaitTermination())
 
 
+def stream_upsert_table(spark: SparkSession, in_dir: str, table_path: str,
+                        checkpoint_dir: str, key: str = "image_id",
+                        max_files_per_trigger: int = 2) -> None:
+    """CDC-style streaming ingestion into the Iceberg-semantics shim: each
+    micro-batch of arriving rows is MERGEd into the table (matched keys
+    replaced, new keys inserted) via foreachBatch — the standard lakehouse
+    upsert-ingest pattern (Iceberg/Delta `foreachBatch` + MERGE INTO).
+    Copy-on-write file granularity bounds each commit to the buckets the
+    batch touches; the stream checkpoint makes ingestion exactly-once per
+    source file, and every micro-batch is a time-travelable snapshot.
+    In-batch duplicate keys are collapsed to the LAST row (CDC upsert
+    semantics) before the merge, which requires key-unique sources."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from ..sources import iceberg_shim as shim
+
+    def handle(batch_df, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        w = Window.partitionBy(key).orderBy(F.col("_src_order").desc())
+        dedup = (batch_df.withColumn(
+                     "_src_order", F.monotonically_increasing_id())
+                 .withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") == 1).drop("_rn", "_src_order"))
+        shim.merge_into(spark, dedup, table_path, on=key)
+
+    stream = (spark.readStream
+              .schema(spark.read.parquet(in_dir).schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(in_dir))
+    (stream.writeStream
+     .foreachBatch(handle)
+     .option("checkpointLocation", checkpoint_dir)
+     .trigger(availableNow=True)
+     .start()
+     .awaitTermination())
+
+
 def stream_event_counts(spark: SparkSession, in_dir: str, out_dir: str,
                         checkpoint_dir: str, window: str = "1 hour",
                         watermark: str = "2 hours") -> None:

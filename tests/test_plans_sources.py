@@ -839,3 +839,84 @@ def test_iceberg_shim_cow_key_range_pruning(spark, tmp_path):
     assert len(got) == 40
     assert all(got[f"img_{i:04d}"] == -1 for i in range(3))
     assert all(got[f"img_{i:04d}"] == i for i in range(3, 40))
+
+
+def test_streaming_upsert_into_shim_matches_batch(spark, smoke_images,
+                                                  tmp_path):
+    """CDC-style streaming ingestion: micro-batches MERGEd into the shim
+    table must converge to the same rows a single batch upsert produces —
+    later arrivals for a key win, new keys insert, every micro-batch is a
+    time-travelable snapshot."""
+    from cogger_spark.streaming.ingest import stream_upsert_table
+    images = (spark.read.parquet(smoke_images)
+              .select("image_id", "fmt", "w").orderBy("image_id"))
+    tbl = str(tmp_path / "cdc_table")
+    base = images.limit(20)
+    shim.write_table(base, tbl, n_buckets=4)
+
+    # CDC feed: corrections for 5 existing keys + 6 brand-new keys, split
+    # across files so the merge spans micro-batches; a later file carries a
+    # second correction for one key (the last write must win)
+    ids = [r.image_id for r in base.select("image_id").limit(5).collect()]
+    upd1 = (images.filter(F.col("image_id").isin(ids))
+            .withColumn("w", F.lit(-1)))
+    new = spark.createDataFrame(
+        [(f"img_cdc_{i}", "raw", 100 + i) for i in range(6)], base.schema)
+    upd2 = (images.filter(F.col("image_id") == ids[0])
+            .withColumn("w", F.lit(-2)))
+    in_dir = tmp_path / "cdc_in"
+    in_dir.mkdir()
+    import os
+    for i, df in enumerate([upd1, new, upd2]):
+        d = str(in_dir / f"f{i}")
+        df.coalesce(1).write.parquet(d)
+        for j, p in enumerate(sorted(
+                q for q in (in_dir / f"f{i}").rglob("*.parquet"))):
+            dst = in_dir / f"cdc_{i:02d}_{j}.parquet"
+            p.rename(dst)
+            os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+        import shutil
+        shutil.rmtree(d)
+
+    stream_upsert_table(spark, str(in_dir), tbl,
+                        str(tmp_path / "cdc_ck"), max_files_per_trigger=1)
+
+    got = {r.image_id: r.w for r in shim.read_table(spark, tbl).collect()}
+    assert len(got) == 26
+    assert got[ids[0]] == -2          # second correction won
+    assert all(got[i] == -1 for i in ids[1:])
+    assert all(got[f"img_cdc_{i}"] == 100 + i for i in range(6))
+    # each micro-batch committed a snapshot (1 create + 3 merges)
+    assert shim.snapshots(spark, tbl).count() == 4
+
+
+def test_shim_filter_pruning_soundness_randomized(spark, tmp_path):
+    """Property: for random tables and random filter conjunctions,
+    read_table(filters=...) returns exactly the rows of an unpruned read +
+    filter — file skipping may only remove files PROVEN irrelevant."""
+    import random
+    rng = random.Random(4242)
+    rows = [(f"img_{i:03d}", rng.choice(["raw", "deflate"]),
+             rng.randrange(0, 1000)) for i in range(60)]
+    df = spark.createDataFrame(rows, "image_id string, fmt string, w int")
+    tbl = str(tmp_path / "prune_prop")
+    shim.write_table(df, tbl, n_buckets=4)
+    shim.append(spark.createDataFrame(
+        [(f"img_x{i:03d}", "raw", rng.randrange(0, 1000)) for i in range(20)],
+        df.schema), tbl)
+    full = shim.read_table(spark, tbl)
+    for _trial in range(6):
+        col = rng.choice(["w", "image_id", "fmt"])
+        if col == "w":
+            f = ("w", rng.choice(["<", "<=", ">", ">=", "=="]),
+                 rng.randrange(0, 1000))
+        elif col == "fmt":
+            f = ("fmt", "in", rng.sample(["raw", "deflate"], 1))
+        else:
+            f = ("image_id", rng.choice([">=", "<"]),
+                 f"img_{rng.randrange(100):03d}")
+        pruned = shim.read_table(spark, tbl, filters=[f])
+        want = shim._residual_filter(full, [f])
+        assert pruned.count() == want.count(), f
+        assert pruned.exceptAll(want).count() == 0, f
+        assert want.exceptAll(pruned).count() == 0, f
