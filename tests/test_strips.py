@@ -264,3 +264,27 @@ def test_write_parts_crash_leaves_no_truncated_final_file(tmp_path):
     _write_parts_rows(iter(retry), str(tmp_path))
     assert (tmp_path / "img_b.tif").read_bytes() == b"CCDD"
     assert not list(tmp_path.glob(".*.tmp"))
+
+
+@pytest.mark.slow
+def test_oversized_rgb_mask_through_parts(spark):
+    """Oversized RGB+mask (4 planes incl. mask, 4096x4096) through
+    cog_pipeline_parts: the strip relation carries planes/has_mask through
+    every level and the ordered part concat equals the direct whole-blob
+    assembly byte-for-byte — the mask-plane interleave survives the strip
+    decomposition."""
+    import zlib
+    from cogger_spark.fixtures import make_pixels
+    from cogger_spark.operators.tiling import cog_pipeline_parts
+    W, H = 4096, 4096
+    px = make_pixels(3, W, H, 3, True)  # RGB + mask plane
+    df = spark.createDataFrame(
+        [("img_00000003", zlib.compress(px.tobytes(), 1), W, H, "deflate")],
+        "image_id string, bytes binary, w int, h int, fmt string")
+    parts = cog_pipeline_parts(df, tile=512, split_threshold_px=10**6,
+                               target_px=4 * 1024 * 1024,
+                               tiles_per_part=16).collect()
+    blob = b"".join(bytes(r.part)
+                    for r in sorted(parts, key=lambda r: r.part_idx))
+    whole = assemble_cogs(tile_images(df, tile=512), tile=512).collect()[0]
+    assert blob == bytes(whole.cog)
