@@ -72,6 +72,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_manifest": o.TILE_MANIFEST,
         "dataset_stats": o.DATASET_STATS,
         "point_grid_counts": o.POINT_GRID_COUNTS,
+        "points_within_radius": o.DISTANCE_JOIN,
         "tile_offsets_raw": o.TILE_OFFSETS_RAW,
         # planar (PlanarConfiguration=2) production: per-band tiles,
         # plane-extended W1 order key, ghost-free prefix sums

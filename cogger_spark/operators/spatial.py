@@ -304,6 +304,47 @@ def zonal_stats(zones: DataFrame, tiles: DataFrame, res: int = DEFAULT_RES) -> D
 # ---------------------------------------------------------------------------
 
 
+def distance_join(points: DataFrame, radius_deg: float,
+                  res: int | None = None) -> DataFrame:
+    """Self distance (range) join — the ST_DWithin shape: every unordered
+    pair of points within `radius_deg` (planar degrees), as
+    (point_a < point_b, dist2). Filter-and-refine like every join here:
+
+    * `res` defaults to the FINEST grid whose cell size still covers the
+      radius, so two in-range points are always within one cell step —
+      side A keeps its single cell, side B explodes its 1-ring (<= 9
+      cells), and the cell equi-join bounds candidates by local density
+      (never all-pairs);
+    * the exact euclidean refine keeps only true pairs; each pair joins on
+      exactly one cell (A's cell is unique and B's ring cells are deduped)
+      so no post-join distinct is needed.
+
+    At 10^12 points this is the standard uniform-grid spatial join: shuffle
+    keyed on cells, AQE skew-split for hot cells, candidate count linear in
+    sum-of-neighborhood sizes."""
+    if res is None:
+        res = max(r for r in range(0, 29)
+                  if C.cell_size_deg(r) >= radius_deg)
+    a = points.select(
+        F.col("point_id").alias("pa"), F.col("lon").alias("lon_a"),
+        F.col("lat").alias("lat_a")).withColumn(
+            "cell_id", point_cell_udf(res)("lon_a", "lat_a"))
+    b = points.select(
+        F.col("point_id").alias("pb"), F.col("lon").alias("lon_b"),
+        F.col("lat").alias("lat_b")).withColumn(
+            "cell_id", F.explode(ring_cells_udf(res, 1)("lon_b", "lat_b")))
+    dx = F.col("lon_a") - F.col("lon_b")
+    dy = F.col("lat_a") - F.col("lat_b")
+    d2 = dx * dx + dy * dy
+    r2 = float(radius_deg) * float(radius_deg)
+    return (a.join(b, "cell_id")
+            .filter(F.col("pa") < F.col("pb"))
+            .filter(d2 <= F.lit(r2))
+            .select(F.col("pa").alias("point_a"),
+                    F.col("pb").alias("point_b"),
+                    F.round(d2, 12).alias("dist2")))
+
+
 def point_grid_counts(points: DataFrame, res: int = DEFAULT_RES,
                       salt_buckets: int = 32) -> DataFrame:
     """Points per grid cell with salted two-stage aggregation (the hot-cell

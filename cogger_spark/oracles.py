@@ -147,6 +147,15 @@ FROM tileplanes
 WINDOW w AS (PARTITION BY image_id ORDER BY level DESC, ty, tx, plane)
 """
 
+DISTANCE_JOIN = f"""
+SELECT a.point_id AS point_a, b.point_id AS point_b,
+  ROUND((a.lon - b.lon) * (a.lon - b.lon)
+        + (a.lat - b.lat) * (a.lat - b.lat), 12) AS dist2
+FROM {POINTS} a JOIN {POINTS} b ON a.point_id < b.point_id
+WHERE (a.lon - b.lon) * (a.lon - b.lon)
+      + (a.lat - b.lat) * (a.lat - b.lat) <= 0.0025000000000000005
+"""
+
 PIP_JOIN = f"""
 WITH {_MANIFEST_CTE}
 SELECT p.point_id, p.label, t.image_id, CAST(t.level AS BIGINT) AS level,

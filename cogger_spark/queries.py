@@ -114,6 +114,11 @@ def q_point_grid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial.point_grid_counts(_points(spark), salt_buckets=32)
 
 
+def q_points_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_DWithin-shaped self range join (cell filter + exact refine)."""
+    return spatial.distance_join(_points(spark), radius_deg=0.05)
+
+
 def q_tile_offsets_planar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PlanarConfiguration=2 production path (per-band tiles) checked
     against the closed-form SQL manifest: every band gets its own
@@ -155,6 +160,7 @@ def q_tile_pixel_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SPATIAL_QUERIES = {
     "point_grid_counts": q_point_grid_counts,
+    "points_within_radius": q_points_within_radius,
     "dataset_stats": q_dataset_stats,
     "tile_manifest": q_tile_manifest,
     "tile_offsets_raw": q_tile_offsets_raw,

@@ -180,3 +180,18 @@ def test_contamination_broadcast_join_no_pairwise(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_distance_join_is_cell_equijoin(spark):
+    """The range join must plan as a cell EQUI-join (+ exact refine) —
+    never a cartesian/theta shape — with both sides full-width."""
+    from cogger_spark.operators.spatial import distance_join
+    from cogger_spark.fixtures import FIXTURE_DIR, ensure_test_fixtures
+    ensure_test_fixtures()
+    pts = spark.read.parquet(f"{FIXTURE_DIR}/points_test.parquet")
+    plan = _plan(distance_join(pts, radius_deg=0.05))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    joins = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert any("cell_id" in ln for ln in joins), plan
+    assert "SinglePartition" not in plan, plan
