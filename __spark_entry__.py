@@ -130,6 +130,8 @@ def oracle_sql() -> dict[str, str]:
         "nation_revenue": o.NATION_REVENUE,
         "events_by_type": o.EVENTS_BY_TYPE,
         "events_sessionize": o.EVENTS_SESSIONIZE,
+        # as-of join vs DuckDB's NATIVE ASOF LEFT JOIN
+        "events_asof_purchase": o.EVENTS_ASOF_PURCHASE,
         "events_value_median": o.EVENTS_VALUE_MEDIAN,
         # LSH paths, checked against exact closures: the minhash oracle is
         # the unblocked all-pairs Jaccard >= t (recall AND precision == 1);

@@ -586,6 +586,17 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
 FROM s GROUP BY user_id, session_id
 """
 
+EVENTS_ASOF_PURCHASE = """
+WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
+r AS (SELECT * FROM events WHERE event_type = 'purchase')
+SELECT l.event_id, l.user_id,
+  CAST(FLOOR(epoch(l.ts)) AS BIGINT) AS ts_epoch,
+  r.event_id IS NOT NULL AS has_prior,
+  COALESCE(r.event_id, -1) AS prior_event_id,
+  ROUND(COALESCE(r.value, 0.0), 2) AS prior_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
 EVENTS_VALUE_MEDIAN = """
 SELECT event_type,
   ROUND(quantile_cont(value, 0.5), 6) AS median_value,

@@ -488,6 +488,28 @@ def q_events_sessionize(spark, sf_dir):
             .withColumn("session_id", F.col("session_id").cast("long")))
 
 
+def q_events_asof_purchase(spark, sf_dir):
+    """As-of join: each click paired with the user's latest purchase at or
+    before it (kdb aj / merge_asof semantics) — the oracle uses DuckDB's
+    NATIVE ASOF LEFT JOIN, so the union-fill-down formulation is checked
+    against a first-class reference implementation."""
+    from .operators.temporal import asof_join
+    e = _tbl(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    j = asof_join(clicks, purchases, on="user_id", ts="ts",
+                  payload=("event_id", "value"), suffix="_prior")
+    ep_l = _ntz_epoch_long(F.col("ts"))
+    # null payloads (no prior purchase) -> sentinels: the driver's float
+    # compare uses np.array_equal, where NaN != NaN
+    return (j.select(
+        "event_id", "user_id", ep_l.alias("ts_epoch"),
+        F.col("event_id_prior").isNotNull().alias("has_prior"),
+        F.coalesce("event_id_prior", F.lit(-1)).alias("prior_event_id"),
+        F.round(F.coalesce("value_prior", F.lit(0.0)), 2)
+         .alias("prior_value")))
+
+
 def q_events_value_median(spark, sf_dir):
     e = _tbl(spark, sf_dir, "events")
     return (e.groupBy("event_type")
@@ -497,6 +519,7 @@ def q_events_value_median(spark, sf_dir):
 
 RELATIONAL_QUERIES = {
     "events_sessionize": q_events_sessionize,
+    "events_asof_purchase": q_events_asof_purchase,
     "events_value_median": q_events_value_median,
     "pricing_summary": q_pricing_summary,
     "orders_topk_per_customer": q_orders_topk_per_customer,

@@ -67,6 +67,7 @@ ORACLE_CASES = [
     ("nation_revenue", "NATION_REVENUE"),
     ("events_by_type", "EVENTS_BY_TYPE"),
     ("events_sessionize", "EVENTS_SESSIONIZE"),
+    ("events_asof_purchase", "EVENTS_ASOF_PURCHASE"),
     ("events_value_median", "EVENTS_VALUE_MEDIAN"),
 ]
 
@@ -291,3 +292,27 @@ def test_tfidf_rare_term_outranks_common(spark):
     top = {(r.doc_id, r.term_rank): r.token
            for r in tfidf_top_terms(df, k=1).collect()}
     assert top[(1, 1)] == "unique"
+
+
+def test_asof_join_semantics(spark):
+    """As-of contract: greatest right ts <= left ts per key; EQUAL ts
+    matches (>= semantics, like DuckDB ASOF); left rows before any right
+    row get null payloads; keys never mix."""
+    import datetime as dt
+
+    from cogger_spark.operators.temporal import asof_join
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    left = spark.createDataFrame(
+        [(1, 10, t(8)), (2, 10, t(10)), (3, 10, t(12)), (4, 20, t(9))],
+        "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(100, 10, t(9), 1.0), (101, 10, t(10), 2.0), (102, 10, t(11), 3.0),
+         (103, 30, t(1), 9.0)],
+        "event_id long, user_id long, ts timestamp, value double")
+    got = {r.event_id: (r.event_id_prior, r.value_prior)
+           for r in asof_join(left, right, payload=("event_id", "value"))
+           .collect()}
+    assert got[1] == (None, None)      # before any right row
+    assert got[2] == (101, 2.0)        # equal ts matches (>=)
+    assert got[3] == (102, 3.0)        # greatest ts <= left
+    assert got[4] == (None, None)      # key 20 never sees key 10/30 rows
