@@ -132,6 +132,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": o.EVENTS_SESSIONIZE,
         # as-of join vs DuckDB's NATIVE ASOF LEFT JOIN
         "events_asof_purchase": o.EVENTS_ASOF_PURCHASE,
+        "events_hourly_rollup": o.EVENTS_HOURLY_ROLLUP,
         "events_value_median": o.EVENTS_VALUE_MEDIAN,
         # LSH paths, checked against exact closures: the minhash oracle is
         # the unblocked all-pairs Jaccard >= t (recall AND precision == 1);

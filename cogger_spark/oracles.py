@@ -597,6 +597,21 @@ SELECT l.event_id, l.user_id,
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
+EVENTS_HOURLY_ROLLUP = """
+WITH e AS (
+  SELECT event_type,
+    CAST(FLOOR(FLOOR(epoch(ts)) / 3600) * 3600 AS BIGINT) AS hour_epoch,
+    value
+  FROM events
+)
+SELECT COALESCE(event_type, '<all>') AS event_type,
+  COALESCE(hour_epoch, -1) AS hour_epoch,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  ROUND(SUM(value), 2) AS sum_value,
+  CAST(GROUPING(event_type) * 2 + GROUPING(hour_epoch) AS BIGINT) AS gid
+FROM e GROUP BY ROLLUP (event_type, hour_epoch)
+"""
+
 EVENTS_VALUE_MEDIAN = """
 SELECT event_type,
   ROUND(quantile_cont(value, 0.5), 6) AS median_value,

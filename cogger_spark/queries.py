@@ -510,6 +510,25 @@ def q_events_asof_purchase(spark, sf_dir):
          .alias("prior_value")))
 
 
+def q_events_hourly_rollup(spark, sf_dir):
+    """Hierarchical time rollup (the hypertable continuous-aggregate shape):
+    ROLLUP(event_type, hour-bucket) emits hour rows, per-type subtotals, and
+    the grand total in ONE pass — Spark's rollup() and DuckDB's GROUP BY
+    ROLLUP are checked against each other. Nulls in grouping columns map to
+    sentinels (driver float compare; grouping_id disambiguates)."""
+    e = _tbl(spark, sf_dir, "events")
+    hour = (F.floor(_ntz_epoch_long(F.col("ts")) / 3600) * 3600).cast("long")
+    g = (e.withColumn("hour_epoch", hour)
+         .rollup("event_type", "hour_epoch")
+         .agg(F.count(F.lit(1)).alias("n_events"),
+              F.round(F.sum("value"), 2).alias("sum_value"),
+              F.grouping_id().alias("gid")))
+    return (g.select(
+        F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+        F.coalesce("hour_epoch", F.lit(-1)).alias("hour_epoch"),
+        "n_events", "sum_value", F.col("gid").cast("long").alias("gid")))
+
+
 def q_events_value_median(spark, sf_dir):
     e = _tbl(spark, sf_dir, "events")
     return (e.groupBy("event_type")
@@ -520,6 +539,7 @@ def q_events_value_median(spark, sf_dir):
 RELATIONAL_QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_asof_purchase": q_events_asof_purchase,
+    "events_hourly_rollup": q_events_hourly_rollup,
     "events_value_median": q_events_value_median,
     "pricing_summary": q_pricing_summary,
     "orders_topk_per_customer": q_orders_topk_per_customer,
