@@ -64,7 +64,7 @@ def overview_dims(width: int, height: int, levels: int) -> List[Tuple[int, int]]
 
 
 def _stripping(src_w: int, src_h: int, dst_w: int, dst_h: int, *,
-               target_pixels: int, tile_h: int,
+               target_pixels: int, tile_h: int, tile_w: int | None = None,
                fullres_strip_height_multiple: int = 0) -> Image:
     """Split one level into strips (stripper.go:293-350): strip height aligned
     to the internal tile height (or the fullres multiple when not
@@ -85,7 +85,14 @@ def _stripping(src_w: int, src_h: int, dst_w: int, dst_h: int, *,
     num_strips = math.ceil(dst_h / strip_height)
 
     res_y = src_h / dst_h
-    img = Image(width=dst_w, height=dst_h, tile_width=tile_h, tile_height=tile_h)
+    # strip PLANNING depends only on the tile height (strips are full-width),
+    # but the emitted Image must carry the true tile WIDTH: tile_strip_idx
+    # divides by it — with non-square internal tiles (reference
+    # InternalTileSize(w, h), stripper.go:46-62) a tile_h-stamped width
+    # would mis-map tile x to strip-local x
+    img = Image(width=dst_w, height=dst_h,
+                tile_width=tile_h if tile_w is None else tile_w,
+                tile_height=tile_h)
     dst_row = 0
     src_row = 0.0
     for s in range(num_strips):
@@ -150,7 +157,7 @@ class Stripper:
                                self.tile_height, self.min_overview_size)
         out = [_stripping(self.width, self.height, self.width, self.height,
                           target_pixels=self.target_pixel_count,
-                          tile_h=self.tile_height,
+                          tile_h=self.tile_height, tile_w=self.tile_width,
                           fullres_strip_height_multiple=self.fullres_strip_height_multiple)]
         iw, ih = self.width, self.height
         for _ in range(n):
@@ -159,7 +166,8 @@ class Stripper:
             niw, nih = -(-iw // 2), -(-ih // 2)
             out.append(_stripping(iw, ih, niw, nih,
                                   target_pixels=self.target_pixel_count,
-                                  tile_h=self.tile_height))
+                                  tile_h=self.tile_height,
+                                  tile_w=self.tile_width))
             iw, ih = niw, nih
         return out
 

@@ -84,3 +84,21 @@ def test_strip_heights_sum_to_image():
         for img in s.pyramid():
             assert sum(st.height for st in img.strips) == img.height
             assert all(st.width == img.width for st in img.strips)
+
+
+def test_non_square_internal_tiles_strip_mapping():
+    """InternalTileSize(w != h) (stripper.go:46-62): the planned Image must
+    carry the true tile WIDTH so tile→strip x-mapping divides by width, not
+    height (r5 latent-defect fix: tile_width was stamped from tile_h)."""
+    from cogger_spark.planner.pyramid import Stripper, tile_strip_idx
+    s = Stripper(2048, 1024, tile_width=512, tile_height=256,
+                 target_pixel_count=512 * 1024, overview_count=0)
+    img = s.pyramid()[0]
+    assert img.tile_width == 512 and img.tile_height == 256
+    # level 0 is 2048 px wide -> 4 tile columns of width 512
+    strip, sx, sy = tile_strip_idx(img, 3, 0)
+    assert sx == 3  # x % ntx with ntx = ceil(2048/512) = 4
+    # with the old tile_h-stamped width, ntx would be ceil(2048/256) = 8
+    # and the mapping of x=5 would differ; ensure ntx derives from width
+    ntx = (img.strips[0].width + img.tile_width - 1) // img.tile_width
+    assert ntx == 4
