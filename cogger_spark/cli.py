@@ -62,6 +62,17 @@ def main(argv=None) -> int:
     m.add_argument("--out", required=True)
     m.add_argument("--tile", type=int, default=512)
 
+    o = sub.add_parser(
+        "rewrite-one",
+        help="EXACT reference-CLI UX (cmd/cogger/main.go:25-64): "
+             "`rewrite-one [--output out.tif] main.tif [overview.tif...]` — "
+             "single invocation, pure codec path, no Spark session")
+    o.add_argument("inputs", nargs="+",
+                   help="main .tif followed by optional external-overview "
+                        ".tifs (loader.go multi-reader order)")
+    o.add_argument("--output", default="out.tif")
+    o.add_argument("--no-ghost", action="store_true")
+
     v = sub.add_parser("validate")
     v.add_argument("--images", required=True)
     v.add_argument("--out", required=True)
@@ -111,6 +122,17 @@ def main(argv=None) -> int:
             n = stats.count()
         print(f"rewrite: wrote COGs under {args.out}"
               + (f" ({n} files)" if n is not None else ""))
+    elif args.cmd == "rewrite-one":
+        # the reference binary's whole job is this function call; Spark buys
+        # nothing for ONE file, so none is started (batch jobs: `rewrite`)
+        from .tiff.codec import Config, rewrite as codec_rewrite
+        sources = [open(f, "rb").read() for f in args.inputs]
+        blob = codec_rewrite(*sources,
+                             cfg=Config(with_gdal_ghost=not args.no_ghost))
+        with open(args.output, "wb") as f:
+            f.write(blob)
+        print(f"rewrite-one: {len(args.inputs)} input(s) -> "
+              f"{args.output} ({len(blob)} bytes)")
     elif args.cmd == "manifest":
         from cogger_spark.operators.spatial import tile_manifest
         images = spark.read.parquet(args.images)

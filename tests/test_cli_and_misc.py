@@ -218,3 +218,29 @@ def test_cli_rewrite_multifile_golden(spark, tmp_path):
     got = (out / "exttest.tif").read_bytes()
     want = (src / "cog_ext_multi.tif").read_bytes()
     assert hashlib.md5(got).hexdigest() == hashlib.md5(want).hexdigest()
+
+
+def test_cli_rewrite_one_matches_reference_golden(tmp_path):
+    """`rewrite-one` — the reference CLI's exact single-invocation UX
+    (positional main.tif [+ overview.tifs], --output) — must reproduce the
+    reference golden bytes, including a multi-file external-overview set."""
+    import hashlib
+    import pathlib
+    from cogger_spark import cli
+    ref = pathlib.Path("/root/reference/testdata")
+    # single-file case (cogger_test.go TestCases)
+    out1 = tmp_path / "single.tif"
+    rc = cli.main(["rewrite-one", str(ref / "rgb.tif"),
+                   "--output", str(out1)])
+    assert rc == 0
+    golden1 = hashlib.md5((ref / "cog_rgb.tif").read_bytes()).hexdigest()
+    assert hashlib.md5(out1.read_bytes()).hexdigest() == golden1
+    # multi-file main + external overviews (cogger_test.go TestMultiFiles)
+    out2 = tmp_path / "multi.tif"
+    rc = cli.main(["rewrite-one", str(ref / "exttest.tif"),
+                   str(ref / "exttest.tif.2"), str(ref / "exttest.tif.4"),
+                   "--output", str(out2)])
+    assert rc == 0
+    golden2 = hashlib.md5(
+        (ref / "cog_ext_multi.tif").read_bytes()).hexdigest()
+    assert hashlib.md5(out2.read_bytes()).hexdigest() == golden2
