@@ -159,6 +159,7 @@ def stream_sessionize(spark: SparkSession, in_dir: str, out_dir: str,
 
 def stream_upsert_table(spark: SparkSession, in_dir: str, table_path: str,
                         checkpoint_dir: str, key: str = "image_id",
+                        version_col: str | None = None,
                         max_files_per_trigger: int = 2) -> None:
     """CDC-style streaming ingestion into the Iceberg-semantics shim: each
     micro-batch of arriving rows is MERGEd into the table (matched keys
@@ -167,8 +168,11 @@ def stream_upsert_table(spark: SparkSession, in_dir: str, table_path: str,
     Copy-on-write file granularity bounds each commit to the buckets the
     batch touches; the stream checkpoint makes ingestion exactly-once per
     source file, and every micro-batch is a time-travelable snapshot.
-    In-batch duplicate keys are collapsed to the LAST row (CDC upsert
-    semantics) before the merge, which requires key-unique sources."""
+    In-batch duplicate keys are collapsed before the merge (which requires
+    key-unique sources): by the greatest `version_col` when given — the
+    robust CDC contract (a change-log sequence/timestamp column) — else by
+    arrival order within the batch (well-defined when each micro-batch is
+    one file; across files in one batch, listing order applies)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
     from ..sources import iceberg_shim as shim
@@ -176,7 +180,9 @@ def stream_upsert_table(spark: SparkSession, in_dir: str, table_path: str,
     def handle(batch_df, batch_id: int):
         if batch_df.isEmpty():
             return
-        w = Window.partitionBy(key).orderBy(F.col("_src_order").desc())
+        order = (F.col(version_col) if version_col
+                 else F.col("_src_order"))
+        w = Window.partitionBy(key).orderBy(order.desc())
         dedup = (batch_df.withColumn(
                      "_src_order", F.monotonically_increasing_id())
                  .withColumn("_rn", F.row_number().over(w))
