@@ -310,11 +310,15 @@ def distance_join(points: DataFrame, radius_deg: float,
     pair of points within `radius_deg` (planar degrees), as
     (point_a < point_b, dist2). Filter-and-refine like every join here:
 
-    * `res` defaults to the FINEST grid whose cell size still covers the
-      radius, so two in-range points are always within one cell step —
-      side A keeps its single cell, side B explodes its 1-ring (<= 9
-      cells), and the cell equi-join bounds candidates by local density
-      (never all-pairs);
+    * `res` defaults to the FINEST grid whose LATITUDE cell still covers
+      the radius — the grid quantizes 180 lat degrees with the same 2^res
+      as 360 lon degrees, so lat cells are HALF cell_size_deg(res) and the
+      coverage condition is cell_size_deg(res) / 2 >= radius (r5
+      self-review: sizing on the lon cell alone dropped in-range pairs two
+      lat-cells apart). Two in-range points are then always within one
+      cell step in BOTH axes — side A keeps its single cell, side B
+      explodes its 1-ring (<= 9 cells), and the cell equi-join bounds
+      candidates by local density (never all-pairs);
     * the exact euclidean refine keeps only true pairs; each pair joins on
       exactly one cell (A's cell is unique and B's ring cells are deduped)
       so no post-join distinct is needed.
@@ -324,7 +328,7 @@ def distance_join(points: DataFrame, radius_deg: float,
     sum-of-neighborhood sizes."""
     if res is None:
         res = max(r for r in range(0, 29)
-                  if C.cell_size_deg(r) >= radius_deg)
+                  if C.cell_size_deg(r) / 2.0 >= radius_deg)
     a = points.select(
         F.col("point_id").alias("pa"), F.col("lon").alias("lon_a"),
         F.col("lat").alias("lat_a")).withColumn(

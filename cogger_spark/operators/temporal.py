@@ -32,7 +32,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
     Returns all left columns plus each payload column as <name><suffix>.
     """
     l = left.withColumn("_side", F.lit(1))
-    r = right.select(
+    # a NULL-ts right row can never be "at or before" anything (DuckDB ASOF:
+    # l.ts >= NULL is never true) — but in the fill-down union nulls sort
+    # FIRST and would propagate to every left row (r5 self-review); drop
+    # them. Null-ts LEFT rows sort to the head and correctly get no match.
+    r = right.filter(F.col(ts).isNotNull()).select(
         on, ts, *[F.col(c).alias(f"{c}{suffix}") for c in payload]) \
         .withColumn("_side", F.lit(0))
     u = l.unionByName(r, allowMissingColumns=True)

@@ -43,6 +43,16 @@ from pyspark.sql import DataFrame, SparkSession
 META = "_shim_metadata"
 
 
+
+def _next_seq(md: pathlib.Path) -> int:
+    """Next snapshot sequence: max existing + 1 parsed from FILENAMES, never
+    a count — expire_snapshots deletes early snapshots, and a count-derived
+    sequence would REUSE a number below the survivor's, sorting the new
+    snapshot before it in the chain and folding removals in the wrong order
+    (resurrecting replaced rows — caught by round-5 self-review)."""
+    seqs = [int(f.name.split("_")[1]) for f in md.glob("snap_*.json")]
+    return max(seqs, default=-1) + 1
+
 def _meta_dir(path) -> pathlib.Path:
     return pathlib.Path(path) / META
 
@@ -196,7 +206,7 @@ def append(df: DataFrame, path: str, n_buckets: int | None = None,
         for f in md.glob("snap_*.json"):
             f.unlink()
     md.mkdir(parents=True, exist_ok=True)
-    seq = len(list(md.glob("snap_*.json")))
+    seq = _next_seq(md)
     rec = {
         "snapshot_id": snap_id,
         "sequence": seq,
@@ -249,21 +259,7 @@ def read_table(spark: SparkSession, path: str,
                 read_table(spark, path, snapshot_id).limit(0), filters)
     else:
         files, _ = _snapshot_files(path, snapshot_id)
-    by_root: dict[str, list[str]] = {}
-    for f in files:
-        root = f.split("/", 1)[0]  # data_<snapshot> dir
-        by_root.setdefault(root, []).append(f"{path}/{f}")
-    df = None
-    # insertion order == chain (chronological) order: evolved columns land
-    # after the original schema, deterministically
-    for root, group in by_root.items():
-        part = (spark.read
-                .option("basePath", f"{path}/{root}")
-                .parquet(*group))
-        # schema evolution: columns added by later appends are null-backfilled
-        # for rows written before the column existed (Iceberg add-column)
-        df = part if df is None else df.unionByName(part,
-                                                    allowMissingColumns=True)
+    df = _read_files_union(spark, path, files)
     return _residual_filter(df, filters) if filters else df
 
 
@@ -292,7 +288,7 @@ def _write_snapshot(path, files: list[str], operation: str,
     snap_id = snap_id or uuid.uuid4().hex[:12]
     md = _meta_dir(path)
     md.mkdir(parents=True, exist_ok=True)
-    seq = len(list(md.glob("snap_*.json")))
+    seq = _next_seq(md)
     rec = {
         "snapshot_id": snap_id,
         "sequence": seq,
@@ -320,7 +316,6 @@ def upsert(spark: SparkSession, df: DataFrame, path: str,
     files as removed + their replacements as added. Layout defaults come
     from the table's current partition_spec; affected files are judged
     under the spec of the snapshot that wrote them (spec evolution)."""
-    _check_unique_keys(df, key)
     cur_files, chain = _snapshot_files(path, None)
     spec_b, spec_cols, _sk = _table_spec(path)
     if n_buckets is None:
@@ -328,19 +323,8 @@ def upsert(spark: SparkSession, df: DataFrame, path: str,
     if partition_cols is None:
         partition_cols = spec_cols
     affected = _affected_files(df, key, cur_files, chain, n_buckets)
-    kept = None
-    if affected:
-        by_root: dict[str, list[str]] = {}
-        for f in affected:
-            by_root.setdefault(f.split("/", 1)[0], []).append(f"{path}/{f}")
-        for root, group in sorted(by_root.items()):
-            part = (spark.read.option("basePath", f"{path}/{root}")
-                    .parquet(*group))
-            # affected buckets may span pre- and post-evolution snapshots
-            # (append can add columns) — null-backfill exactly like
-            # read_table/incremental_read do (ADVICE r4)
-            kept = part if kept is None else kept.unionByName(
-                part, allowMissingColumns=True)
+    kept = _read_files_union(spark, path, affected)
+    if kept is not None:
         kept = kept.join(df.select(F.col(key)), key, "left_anti") \
                    .drop("p_bucket")
     merged = df if kept is None else kept.unionByName(
@@ -396,6 +380,24 @@ def evolve_partition_spec(path: str, n_buckets: int | None = None,
                            list(pc) + [f"bucket({key})%{nb}"])
 
 
+def _read_files_union(spark: SparkSession, path: str,
+                      files: list) -> DataFrame | None:
+    """Read a file list grouped per data root (so each root's basePath
+    recovers its hive partition columns), null-backfilling across schema
+    evolution — the one read path shared by read_table, incremental_read,
+    and the COW ops."""
+    by_root: dict[str, list[str]] = {}
+    for f in files:
+        by_root.setdefault(f.split("/", 1)[0], []).append(f"{path}/{f}")
+    df = None
+    for root, group in sorted(by_root.items()):
+        part = (spark.read.option("basePath", f"{path}/{root}")
+                .parquet(*group))
+        df = part if df is None else df.unionByName(
+            part, allowMissingColumns=True)
+    return df
+
+
 def _affected_files(source: DataFrame, key: str, cur_files: list,
                     chain: list, n_buckets_latest: int) -> list:
     """Files that can hold a source key — the COW scan plan. Two prunes,
@@ -412,16 +414,32 @@ def _affected_files(source: DataFrame, key: str, cur_files: list,
       bucket. Uses only the source's min/max (one tiny agg) so the check
       stays O(1) however large the source is.
 
-    Unknown roots / missing stats are kept (conservative)."""
+    Unknown roots / missing stats are kept (conservative).
+
+    ONE driver job computes everything the plan needs — per-modulus bucket
+    sets (collect_set is bounded by the modulus), the key range, and the
+    key-uniqueness check (count vs countDistinct) — instead of 3+ separate
+    scans of the source per merge (r5 self-review; matters per micro-batch
+    in stream_upsert_table). Key-duplicated sources raise Iceberg's
+    'multiple source rows matched' contract error."""
     spec_of_root = {f"data_{rec['snapshot_id']}":
                     _parse_spec(rec["partition_spec"])[0] for rec in chain}
-    moduli = set(spec_of_root.values()) | {n_buckets_latest}
-    buckets_by_mod = {
-        m: {r[0] for r in
-            source.select(bucket_for(F.col(key), m)).distinct().collect()}
-        for m in moduli}
-    kr = source.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).collect()[0]
-    src_lo, src_hi = kr["lo"], kr["hi"]
+    moduli = sorted(set(spec_of_root.values()) | {n_buckets_latest})
+    row = source.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct(key).alias("nd"),
+        F.min(key).alias("lo"), F.max(key).alias("hi"),
+        *[F.collect_set(bucket_for(F.col(key), m)).alias(f"b{m}")
+          for m in moduli]).collect()[0]
+    if row["n"] != row["nd"]:
+        dup = (source.groupBy(key).count()
+               .filter(F.col("count") > 1).limit(1).collect())
+        bad = dup[0][0] if dup else "<null key>"
+        raise ValueError(
+            f"source has multiple rows for {key}={bad!r}; MERGE/upsert "
+            f"requires key-unique sources (Iceberg: 'multiple source rows "
+            f"matched')")
+    buckets_by_mod = {m: set(row[f"b{m}"]) for m in moduli}
+    src_lo, src_hi = row["lo"], row["hi"]
     stats: dict[str, dict] = {}
     for rec in chain:
         stats.update(rec.get("file_stats", {}))
@@ -445,19 +463,6 @@ def _affected_files(source: DataFrame, key: str, cur_files: list,
             continue  # key range proves no source row can live here
         out.append(f)
     return out
-
-
-def _check_unique_keys(source: DataFrame, key: str) -> None:
-    """Iceberg MERGE raises when multiple source rows match one target row;
-    the shim enforces the same contract up front (a duplicated key would
-    silently duplicate the joined target row instead)."""
-    dup = (source.groupBy(key).count().filter(F.col("count") > 1)
-           .limit(1).collect())
-    if dup:
-        raise ValueError(
-            f"source has multiple rows for {key}={dup[0][0]!r}; MERGE/upsert "
-            f"requires key-unique sources (Iceberg: 'multiple source rows "
-            f"matched')")
 
 
 def merge_into(spark: SparkSession, source: DataFrame, path: str,
@@ -497,7 +502,6 @@ def merge_into(spark: SparkSession, source: DataFrame, path: str,
     if when_not_matched not in ("insert", "ignore"):
         raise ValueError(
             f"when_not_matched must be insert|ignore: {when_not_matched}")
-    _check_unique_keys(source, on)
     spec_buckets, spec_cols, _ = _table_spec(path)
     if n_buckets is None:
         n_buckets = spec_buckets
@@ -505,16 +509,8 @@ def merge_into(spark: SparkSession, source: DataFrame, path: str,
         partition_cols = spec_cols
     cur_files, chain = _snapshot_files(path, None)
     affected = _affected_files(source, on, cur_files, chain, n_buckets)
-    tgt = None
-    if affected:
-        by_root: dict[str, list[str]] = {}
-        for f in affected:
-            by_root.setdefault(f.split("/", 1)[0], []).append(f"{path}/{f}")
-        for root, group in sorted(by_root.items()):
-            part = (spark.read.option("basePath", f"{path}/{root}")
-                    .parquet(*group))
-            tgt = part if tgt is None else tgt.unionByName(
-                part, allowMissingColumns=True)
+    tgt = _read_files_union(spark, path, affected)
+    if tgt is not None:
         tgt = tgt.drop("p_bucket")
 
     if tgt is None:
@@ -675,13 +671,4 @@ def incremental_read(spark: SparkSession, path: str, from_snapshot: str,
         # return an empty frame with the range-end snapshot's schema, not an
         # error (ADVICE r3)
         return read_table(spark, path, snapshot_id=to_snapshot).limit(0)
-    by_root: dict[str, list[str]] = {}
-    for f in files:
-        by_root.setdefault(f.split("/", 1)[0], []).append(f"{path}/{f}")
-    df = None
-    for root, group in by_root.items():  # chronological (chain) order
-        part = (spark.read.option("basePath", f"{path}/{root}")
-                .parquet(*group))
-        df = part if df is None else df.unionByName(part,
-                                                    allowMissingColumns=True)
-    return df
+    return _read_files_union(spark, path, files)

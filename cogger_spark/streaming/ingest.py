@@ -180,9 +180,11 @@ def stream_upsert_table(spark: SparkSession, in_dir: str, table_path: str,
     def handle(batch_df, batch_id: int):
         if batch_df.isEmpty():
             return
-        order = (F.col(version_col) if version_col
-                 else F.col("_src_order"))
-        w = Window.partitionBy(key).orderBy(order.desc())
+        # arrival order is always the FINAL tiebreak so equal-version rows
+        # resolve deterministically across task retries (r5 self-review)
+        order = ([F.col(version_col).desc(), F.col("_src_order").desc()]
+                 if version_col else [F.col("_src_order").desc()])
+        w = Window.partitionBy(key).orderBy(*order)
         dedup = (batch_df.withColumn(
                      "_src_order", F.monotonically_increasing_id())
                  .withColumn("_rn", F.row_number().over(w))

@@ -317,3 +317,20 @@ def test_asof_join_semantics(spark):
     assert got[2] == (101, 2.0)        # equal ts matches (>=)
     assert got[3] == (102, 3.0)        # greatest ts <= left
     assert got[4] == (None, None)      # key 20 never sees key 10/30 rows
+
+
+def test_asof_join_null_ts_right_rows_never_match(spark):
+    """Regression (r5 self-review): a right row with NULL ts sorts to the
+    partition head in the fill-down union and used to propagate to every
+    left row; DuckDB ASOF (l.ts >= r.ts) never matches it."""
+    import datetime as dt
+
+    from cogger_spark.operators.temporal import asof_join
+    left = spark.createDataFrame(
+        [(1, 10, dt.datetime(2024, 1, 1, 8))],
+        "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(100, 10, None, 9.0)],
+        "event_id long, user_id long, ts timestamp, value double")
+    got = asof_join(left, right, payload=("event_id", "value")).collect()[0]
+    assert got.event_id_prior is None and got.value_prior is None

@@ -920,3 +920,31 @@ def test_shim_filter_pruning_soundness_randomized(spark, tmp_path):
         assert pruned.count() == want.count(), f
         assert pruned.exceptAll(want).count() == 0, f
         assert want.exceptAll(pruned).count() == 0, f
+
+
+def test_iceberg_shim_write_after_expire_keeps_sequence_order(spark,
+                                                              tmp_path):
+    """Regression (r5 self-review, verified repro): sequence numbers must
+    stay monotone PAST expiry. With count-derived sequences, the first write
+    after expire_snapshots reused a number BELOW the survivor's, sorted
+    before it in the chain, and the survivor's fold re-added every replaced
+    file — resurrecting old rows and duplicating keys."""
+    rows = [(f"img_{i:02d}", "raw", i) for i in range(10)]
+    df = spark.createDataFrame(rows, "image_id string, fmt string, w int")
+    tbl = str(tmp_path / "seq_after_expire")
+    shim.write_table(spark.createDataFrame(rows[:4], df.schema), tbl,
+                     n_buckets=2)
+    shim.append(spark.createDataFrame(rows[4:7], df.schema), tbl)
+    shim.append(spark.createDataFrame(rows[7:], df.schema), tbl)
+    shim.expire_snapshots(tbl, keep_last=1)
+
+    upd = spark.createDataFrame([("img_00", "raw", -1)], df.schema)
+    shim.upsert(spark, upd, tbl)
+    got = {r.image_id: r.w for r in shim.read_table(spark, tbl).collect()}
+    assert len(got) == 10, f"resurrected/duplicated rows: {sorted(got)}"
+    assert got["img_00"] == -1
+    assert all(got[f"img_{i:02d}"] == i for i in range(1, 10))
+    # and the chain keeps strictly increasing sequences
+    _, chain = shim._snapshot_files(tbl, None)
+    seqs = [rec["sequence"] for rec in chain]
+    assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)

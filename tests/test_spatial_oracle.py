@@ -112,3 +112,20 @@ def test_sql_api_over_engine_views(spark, fixture_dir):
         GROUP BY t.image_id ORDER BY n_points DESC LIMIT 5
     """).collect()
     assert out and out[0].n_points >= out[-1].n_points
+
+
+def test_distance_join_lat_cell_coverage(spark):
+    """Regression (r5 self-review, verified counter-example): the grid's
+    LATITUDE cell is half the longitude cell, so sizing the resolution on
+    the lon cell alone let in-range pairs sit two lat-cells apart — outside
+    the 1-ring — and vanish. This exact pair (0.0495 deg apart at
+    radius 0.05) must be found."""
+    from cogger_spark.operators.spatial import distance_join
+    pts = spark.createDataFrame(
+        [(1, 10.0, 0.0430, "a"), (2, 10.0, 0.0925, "b"),
+         (3, 120.0, 50.0, "c")],
+        "point_id long, lon double, lat double, label string")
+    got = {(r.point_a, r.point_b) for r in
+           distance_join(pts, radius_deg=0.05).collect()}
+    assert (1, 2) in got
+    assert not any(3 in pair for pair in got)
