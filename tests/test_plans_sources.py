@@ -948,3 +948,26 @@ def test_iceberg_shim_write_after_expire_keeps_sequence_order(spark,
     _, chain = shim._snapshot_files(tbl, None)
     seqs = [rec["sequence"] for rec in chain]
     assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
+
+
+def test_iceberg_shim_merge_not_matched_by_source(spark, smoke_images,
+                                                  tmp_path):
+    """WHEN NOT MATCHED BY SOURCE THEN DELETE (the full-sync MERGE): target
+    rows absent from the source are removed, matched rows update, new
+    source rows insert — the table converges to exactly the source."""
+    images = (spark.read.parquet(smoke_images)
+              .select("image_id", "fmt", "w").orderBy("image_id"))
+    tbl = str(tmp_path / "full_sync")
+    shim.write_table(images.limit(15), tbl, n_buckets=4)
+    # source: 5 of the existing keys (updated) + 2 new keys
+    keep = [r.image_id for r in images.limit(5).collect()]
+    src = (images.filter(F.col("image_id").isin(keep))
+           .withColumn("w", F.lit(-1)))
+    new = spark.createDataFrame(
+        [("img_sync_a", "raw", 1), ("img_sync_b", "raw", 2)], src.schema)
+    src = src.unionByName(new)
+    shim.merge_into(spark, src, tbl, on="image_id",
+                    when_not_matched_by_source="delete")
+    got = {r.image_id: r.w for r in shim.read_table(spark, tbl).collect()}
+    want = {r.image_id: r.w for r in src.collect()}
+    assert got == want  # table == source exactly
