@@ -78,6 +78,19 @@ def main(argv=None) -> int:
     v.add_argument("--out", required=True)
 
     args = ap.parse_args(argv)
+    if args.cmd == "rewrite-one":
+        # the reference binary's whole job is one codec call; Spark buys
+        # nothing for ONE file, so NO session is started (r5 self-review:
+        # the session was previously created before dispatch)
+        from .tiff.codec import Config, rewrite as codec_rewrite
+        sources = [open(f, "rb").read() for f in args.inputs]
+        blob = codec_rewrite(*sources,
+                             cfg=Config(with_gdal_ghost=not args.no_ghost))
+        with open(args.output, "wb") as f:
+            f.write(blob)
+        print(f"rewrite-one: {len(args.inputs)} input(s) -> "
+              f"{args.output} ({len(blob)} bytes)")
+        return 0
     spark = _spark(args.cores)
 
     if args.cmd == "convert":
@@ -122,17 +135,6 @@ def main(argv=None) -> int:
             n = stats.count()
         print(f"rewrite: wrote COGs under {args.out}"
               + (f" ({n} files)" if n is not None else ""))
-    elif args.cmd == "rewrite-one":
-        # the reference binary's whole job is this function call; Spark buys
-        # nothing for ONE file, so none is started (batch jobs: `rewrite`)
-        from .tiff.codec import Config, rewrite as codec_rewrite
-        sources = [open(f, "rb").read() for f in args.inputs]
-        blob = codec_rewrite(*sources,
-                             cfg=Config(with_gdal_ghost=not args.no_ghost))
-        with open(args.output, "wb") as f:
-            f.write(blob)
-        print(f"rewrite-one: {len(args.inputs)} input(s) -> "
-              f"{args.output} ({len(blob)} bytes)")
     elif args.cmd == "manifest":
         from cogger_spark.operators.spatial import tile_manifest
         images = spark.read.parquet(args.images)

@@ -36,14 +36,20 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
     # l.ts >= NULL is never true) — but in the fill-down union nulls sort
     # FIRST and would propagate to every left row (r5 self-review); drop
     # them. Null-ts LEFT rows sort to the head and correctly get no match.
-    r = right.filter(F.col(ts).isNotNull()).select(
-        on, ts, *[F.col(c).alias(f"{c}{suffix}") for c in payload]) \
-        .withColumn("_side", F.lit(0))
+    # The payload rides in ONE struct so every filled column comes from the
+    # SAME right row — per-column last(ignorenulls) would stitch a NULL
+    # field of the matched row together with an older row's value
+    # (r5 self-review #2). The struct is built on the right side only, so
+    # left rows carry a NULL struct (not a struct of nulls) after the
+    # unionByName backfill and are transparent to the fill.
+    r = (right.filter(F.col(ts).isNotNull())
+         .select(on, ts, F.struct(*payload).alias("_pay"))
+         .withColumn("_side", F.lit(0)))
     u = l.unionByName(r, allowMissingColumns=True)
     w = (Window.partitionBy(on).orderBy(ts, "_side")
          .rowsBetween(Window.unboundedPreceding, 0))
-    for c in payload:
-        u = u.withColumn(f"{c}{suffix}",
-                         F.last(f"{c}{suffix}", ignorenulls=True).over(w))
-    return (u.filter(F.col("_side") == 1).drop("_side")
-            .select(*left.columns, *[f"{c}{suffix}" for c in payload]))
+    u = u.withColumn("_pay", F.last("_pay", ignorenulls=True).over(w))
+    return (u.filter(F.col("_side") == 1)
+            .select(*left.columns,
+                    *[F.col(f"_pay.{c}").alias(f"{c}{suffix}")
+                      for c in payload]))

@@ -588,7 +588,11 @@ FROM s GROUP BY user_id, session_id
 
 EVENTS_ASOF_PURCHASE = """
 WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
-r AS (SELECT * FROM events WHERE event_type = 'purchase')
+r AS (
+  SELECT * FROM events WHERE event_type = 'purchase'
+  QUALIFY ROW_NUMBER() OVER
+    (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+)
 SELECT l.event_id, l.user_id,
   CAST(FLOOR(epoch(l.ts)) AS BIGINT) AS ts_epoch,
   r.event_id IS NOT NULL AS has_prior,

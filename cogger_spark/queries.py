@@ -496,7 +496,13 @@ def q_events_asof_purchase(spark, sf_dir):
     from .operators.temporal import asof_join
     e = _tbl(spark, sf_dir, "events")
     clicks = e.filter(F.col("event_type") == "click")
-    purchases = e.filter(F.col("event_type") == "purchase")
+    # deterministic tie policy for multiple purchases at one instant:
+    # keep the greatest event_id per (user, ts) — mirrored in the oracle
+    # (ASOF alone picks an arbitrary same-ts winner in each engine)
+    wdup = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    purchases = (e.filter(F.col("event_type") == "purchase")
+                 .withColumn("_rn", F.row_number().over(wdup))
+                 .filter(F.col("_rn") == 1).drop("_rn"))
     j = asof_join(clicks, purchases, on="user_id", ts="ts",
                   payload=("event_id", "value"), suffix="_prior")
     ep_l = _ntz_epoch_long(F.col("ts"))

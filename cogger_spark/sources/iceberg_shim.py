@@ -380,6 +380,25 @@ def evolve_partition_spec(path: str, n_buckets: int | None = None,
                            list(pc) + [f"bucket({key})%{nb}"])
 
 
+def _raise_dup(source: DataFrame, key: str) -> None:
+    dup = (source.groupBy(key).count()
+           .filter(F.col("count") > 1).limit(1).collect())
+    bad = dup[0][0] if dup else "<unknown>"
+    raise ValueError(
+        f"source has multiple rows for {key}={bad!r}; MERGE/upsert "
+        f"requires key-unique sources (Iceberg: 'multiple source rows "
+        f"matched')")
+
+
+def _check_dup_keys(source: DataFrame, key: str) -> None:
+    """Narrow key-uniqueness check (one count-vs-countDistinct agg) for
+    paths that don't need _affected_files' full bucket/range planning."""
+    row = source.agg(F.count(key).alias("n"),
+                     F.countDistinct(key).alias("nd")).collect()[0]
+    if row["n"] != row["nd"]:
+        _raise_dup(source, key)
+
+
 def _read_files_union(spark: SparkSession, path: str,
                       files: list) -> DataFrame | None:
     """Read a file list grouped per data root (so each root's basePath
@@ -387,10 +406,13 @@ def _read_files_union(spark: SparkSession, path: str,
     evolution — the one read path shared by read_table, incremental_read,
     and the COW ops."""
     by_root: dict[str, list[str]] = {}
-    for f in files:
+    for f in files:  # dict preserves FIRST-SEEN (chronological fold) order
         by_root.setdefault(f.split("/", 1)[0], []).append(f"{path}/{f}")
     df = None
-    for root, group in sorted(by_root.items()):
+    # chronological union keeps column order deterministic: evolved columns
+    # land AFTER the original schema (uuid-sorted roots would let whichever
+    # snapshot id sorts first supply the base schema — r5 self-review)
+    for root, group in by_root.items():
         part = (spark.read.option("basePath", f"{path}/{root}")
                 .parquet(*group))
         df = part if df is None else df.unionByName(
@@ -425,19 +447,16 @@ def _affected_files(source: DataFrame, key: str, cur_files: list,
     spec_of_root = {f"data_{rec['snapshot_id']}":
                     _parse_spec(rec["partition_spec"])[0] for rec in chain}
     moduli = sorted(set(spec_of_root.values()) | {n_buckets_latest})
+    # F.count(key) counts NON-NULL keys only, matching countDistinct's
+    # null handling — a single null-key source row is NOT a duplicate
+    # (null never equi-matches; Iceberg MERGE inserts it)
     row = source.agg(
-        F.count(F.lit(1)).alias("n"), F.countDistinct(key).alias("nd"),
+        F.count(key).alias("n"), F.countDistinct(key).alias("nd"),
         F.min(key).alias("lo"), F.max(key).alias("hi"),
         *[F.collect_set(bucket_for(F.col(key), m)).alias(f"b{m}")
           for m in moduli]).collect()[0]
     if row["n"] != row["nd"]:
-        dup = (source.groupBy(key).count()
-               .filter(F.col("count") > 1).limit(1).collect())
-        bad = dup[0][0] if dup else "<null key>"
-        raise ValueError(
-            f"source has multiple rows for {key}={bad!r}; MERGE/upsert "
-            f"requires key-unique sources (Iceberg: 'multiple source rows "
-            f"matched')")
+        _raise_dup(source, key)
     buckets_by_mod = {m: set(row[f"b{m}"]) for m in moduli}
     src_lo, src_hi = row["lo"], row["hi"]
     stats: dict[str, dict] = {}
@@ -519,8 +538,9 @@ def merge_into(spark: SparkSession, source: DataFrame, path: str,
         partition_cols = spec_cols
     cur_files, chain = _snapshot_files(path, None)
     if when_not_matched_by_source == "delete":
-        # the clause must SEE every target row — no bucket/key-range prune
-        _affected_files(source, on, [], chain, n_buckets)  # dup-key check
+        # the clause must SEE every target row — no bucket/key-range prune;
+        # only the (narrow) dup-key contract check runs over the source
+        _check_dup_keys(source, on)
         affected = list(cur_files)
     else:
         affected = _affected_files(source, on, cur_files, chain, n_buckets)

@@ -167,7 +167,9 @@ def stream_upsert_table(spark: SparkSession, in_dir: str, table_path: str,
     upsert-ingest pattern (Iceberg/Delta `foreachBatch` + MERGE INTO).
     Copy-on-write file granularity bounds each commit to the buckets the
     batch touches; the stream checkpoint makes ingestion exactly-once per
-    source file, and every micro-batch is a time-travelable snapshot.
+    source file, and every micro-batch is a time-travelable snapshot. A
+    table that does not exist yet is CREATED by the first micro-batch
+    (default layout), so the stream can bootstrap an empty path.
     In-batch duplicate keys are collapsed before the merge (which requires
     key-unique sources): by the greatest `version_col` when given — the
     robust CDC contract (a change-log sequence/timestamp column) — else by
@@ -189,7 +191,10 @@ def stream_upsert_table(spark: SparkSession, in_dir: str, table_path: str,
                      "_src_order", F.monotonically_increasing_id())
                  .withColumn("_rn", F.row_number().over(w))
                  .filter(F.col("_rn") == 1).drop("_rn", "_src_order"))
-        shim.merge_into(spark, dedup, table_path, on=key)
+        try:
+            shim.merge_into(spark, dedup, table_path, on=key)
+        except FileNotFoundError:
+            shim.write_table(dedup, table_path)
 
     stream = (spark.readStream
               .schema(spark.read.parquet(in_dir).schema)

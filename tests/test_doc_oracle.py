@@ -334,3 +334,22 @@ def test_asof_join_null_ts_right_rows_never_match(spark):
         "event_id long, user_id long, ts timestamp, value double")
     got = asof_join(left, right, payload=("event_id", "value")).collect()[0]
     assert got.event_id_prior is None and got.value_prior is None
+
+
+def test_asof_join_null_payload_field_not_blended(spark):
+    """Regression (r5 self-review #2): the payload must come from ONE right
+    row — a matched row's NULL field must stay NULL, never inherit an older
+    row's value via per-column fill."""
+    import datetime as dt
+
+    from cogger_spark.operators.temporal import asof_join
+    left = spark.createDataFrame(
+        [(1, 10, dt.datetime(2024, 1, 1, 11))],
+        "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(100, 10, dt.datetime(2024, 1, 1, 9), 5.0),
+         (101, 10, dt.datetime(2024, 1, 1, 10), None)],
+        "event_id long, user_id long, ts timestamp, value double")
+    got = asof_join(left, right, payload=("event_id", "value")).collect()[0]
+    assert got.event_id_prior == 101
+    assert got.value_prior is None  # NOT 5.0 from the older row

@@ -971,3 +971,32 @@ def test_iceberg_shim_merge_not_matched_by_source(spark, smoke_images,
     got = {r.image_id: r.w for r in shim.read_table(spark, tbl).collect()}
     want = {r.image_id: r.w for r in src.collect()}
     assert got == want  # table == source exactly
+
+
+def test_iceberg_shim_null_key_source_row_accepted(spark, smoke_images,
+                                                   tmp_path):
+    """Regression (r5 self-review): a single NULL-key source row is NOT a
+    duplicate (null never equi-matches; Iceberg MERGE inserts it) — the
+    count-vs-countDistinct uniqueness check must not raise."""
+    images = spark.read.parquet(smoke_images).select("image_id", "fmt", "w")
+    tbl = str(tmp_path / "null_key")
+    shim.write_table(images.orderBy("image_id").limit(8), tbl, n_buckets=2)
+    src = spark.createDataFrame(
+        [("img_new_x", "raw", 1), (None, "raw", 2)], images.schema)
+    shim.merge_into(spark, src, tbl, on="image_id")  # must not raise
+    got = shim.read_table(spark, tbl)
+    assert got.filter(F.col("image_id").isNull()).count() == 1
+    assert got.count() == 10
+
+
+def test_streaming_upsert_bootstraps_missing_table(spark, smoke_images,
+                                                   tmp_path):
+    """The first micro-batch CREATES the table when the path is fresh."""
+    from cogger_spark.streaming.ingest import stream_upsert_table
+    images = (spark.read.parquet(smoke_images)
+              .select("image_id", "fmt", "w").orderBy("image_id").limit(6))
+    in_dir = str(tmp_path / "boot_in")
+    images.coalesce(1).write.parquet(in_dir)
+    tbl = str(tmp_path / "boot_table")  # does not exist
+    stream_upsert_table(spark, in_dir, tbl, str(tmp_path / "boot_ck"))
+    assert shim.read_table(spark, tbl).count() == 6
