@@ -64,6 +64,13 @@ def main() -> None:
         ("benchmark_contamination",
          "distinct-gram explode → broadcast benchmark-gram equi-join → "
          "per-doc hash agg; linear, no pairwise work (r5)"),
+        ("points_within_radius",
+         "distance range join: cell equi-join (A single cell, B 1-ring) + "
+         "exact euclidean refine — never a theta/cartesian join (r5)"),
+        ("events_asof_purchase",
+         "as-of join: union-fill-down — per-key sort (ts, side), ONE "
+         "struct filled with last(ignorenulls); one shuffle on the key "
+         "(r5)"),
     ]
 
     out = ["# PLANS — captured physical plans (explain format)\n",
