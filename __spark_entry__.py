@@ -86,6 +86,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_join": o.KNN_JOIN,
         "knn_adaptive": o.KNN_ADAPTIVE,
         "zonal_stats": o.ZONAL_STATS,
+        # pixel-level zonal stats: zone pairing x closed-form decoded-pixel
+        # stats (sum/count/min/max/mean over the zone's overlapping tiles)
+        "zonal_pixel_stats": o.ZONAL_PIXEL_STATS,
         "phash_canonical": o.PHASH_CANONICAL,
         "dedup_images": o.DEDUP_IMAGES,
         # documents / embeddings (driver-registered views)

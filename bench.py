@@ -252,6 +252,8 @@ def main() -> None:
               lambda: spatial.knn_join_adaptive(points, manifest, k=2).count())
         timed("zonal_stats",
               lambda: spatial.zonal_stats(zones, manifest).count())
+        timed("zonal_pixel_stats",
+              lambda: spatial.zonal_pixel_stats(zones, images).count())
         timed("phash_canonical",
               lambda: spatial.phash_canonical(images).count())
 

@@ -90,15 +90,24 @@ def cell_parent(cell: np.ndarray, parent_res: int) -> np.ndarray:
 
 def k_ring(cell: np.ndarray, k: int) -> np.ndarray:
     """All cells within Chebyshev distance k — shape (n, (2k+1)^2).
-    Out-of-grid neighbors are clamped to the border (no antimeridian wrap)."""
+    Out-of-grid neighbors are clamped to the border (no antimeridian wrap).
+    All input cells must share one resolution: ids are re-packed with a
+    single res header, so mixed-res input would silently produce ids of
+    unrelated cells (asserted; r5 self-review). Scalar input is accepted."""
+    cell = np.atleast_1d(np.asarray(cell, dtype=np.uint64))
     x, y, res = xy_from_cell(cell)
+    res = np.atleast_1d(res)
+    if len(res) == 0:
+        return np.empty((0, (2 * k + 1) ** 2), dtype=np.uint64)
+    if not (res == res[0]).all():
+        raise ValueError("k_ring requires uniform cell resolution")
     n = (np.int64(1) << res) - 1
     side = 2 * k + 1
     dx, dy = np.meshgrid(np.arange(-k, k + 1), np.arange(-k, k + 1))
     nx = np.clip(x[:, None] + dx.ravel()[None, :], 0, n[:, None])
     ny = np.clip(y[:, None] + dy.ravel()[None, :], 0, n[:, None])
-    r = int(res[0]) if len(np.atleast_1d(res)) else 0
-    return cell_from_xy(nx.ravel(), ny.ravel(), r).reshape(-1, side * side)
+    return cell_from_xy(nx.ravel(), ny.ravel(),
+                        int(res[0])).reshape(-1, side * side)
 
 
 def cover_bbox(lon_min, lat_min, lon_max, lat_max, res: int):

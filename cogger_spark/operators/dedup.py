@@ -33,8 +33,12 @@ LSH_ROWS = MINHASH_PERMS // LSH_BANDS
 _P = (1 << 61) - 1  # Mersenne prime for the permutation family
 
 # deterministic permutation parameters (fixed, seed-free)
-_A = np.array([(2 * i + 1) * 0x9E3779B97F4A7C15 % _P for i in range(MINHASH_PERMS)],
-              dtype=np.uint64)
+# a < 2^32 so a*x fits uint64 for crc32 shingles (x < 2^32): the old
+# unreduced a (up to ~2^61) silently WRAPPED mod 2^64 before the mod-p,
+# which is not the (a*x+b) mod p family at all (r5 self-review); |1 keeps
+# a nonzero/odd
+_A = np.array([((2 * i + 1) * 0x9E3779B97F4A7C15 % _P) % (1 << 32) | 1
+               for i in range(MINHASH_PERMS)], dtype=np.uint64)
 _B = np.array([(i * i + i + 41) * 0xC2B2AE3D27D4EB4F % _P for i in range(MINHASH_PERMS)],
               dtype=np.uint64)
 
@@ -126,8 +130,10 @@ def minhash_udf():
             if len(th) == 0:
                 out.append([0] * MINHASH_PERMS)
                 continue
-            # (a*x + b) mod p for all perms × tokens, min per perm
-            vals = (th[None, :] * _A[:, None] + _B[:, None]) % np.uint64(_P)
+            # (a*x + b) mod p for all perms × tokens, min per perm —
+            # reduce the product BEFORE adding b so nothing exceeds uint64
+            vals = ((th[None, :] * _A[:, None]) % np.uint64(_P)
+                    + _B[:, None]) % np.uint64(_P)
             out.append(vals.min(axis=1).astype(np.int64).tolist())
         return pd.Series(out)
     return _sig
@@ -218,8 +224,15 @@ def simhash_udf():
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming, blocked by
     16-bit signature chunks (pigeonhole: <=3 differing bits over 4 chunks
-    guarantees one identical chunk)."""
-    d = docs.withColumn("simhash", simhash_udf()("text"))
+    guarantees one identical chunk — so the blocking is LOSSLESS only for
+    max_hamming <= 3; larger thresholds would silently drop qualifying
+    pairs and are rejected)."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming}: 4x16-bit pigeonhole blocking is "
+            f"only lossless for max_hamming <= 3")
+    d = (docs.filter(F.col("text").isNotNull())
+         .withColumn("simhash", simhash_udf()("text")))
     chunks = F.array(*[
         F.struct(F.lit(c).alias("chunk"),
                  F.shiftrightunsigned(F.col("simhash"), 16 * c)

@@ -93,6 +93,11 @@ def _kmeans(sample: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
     """Deterministic Lloyd's iterations, seeded centroids — a driver-side
     coarse quantizer trained on a bounded sample (classic IVF)."""
     rng = np.random.RandomState(7)
+    # tiny corpora: fewer centroids than requested beats an opaque
+    # np.random 'larger sample than population' crash (r5 self-review)
+    k = min(k, len(sample))
+    if k == 0:
+        raise ValueError("_kmeans: empty training sample")
     cent = sample[rng.choice(len(sample), size=k, replace=False)].copy()
     for _ in range(iters):
         d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)

@@ -192,8 +192,8 @@ def knn_join(points: DataFrame, tiles: DataFrame, k: int = 5,
     d2 = (F.col("lon") - cx) * (F.col("lon") - cx) \
         + (F.col("lat") - cy) * (F.col("lat") - cy)
     w = Window.partitionBy("point_id").orderBy(
-        F.col("dist2").asc(), F.col("image_id").asc(), F.col("ty").asc(),
-        F.col("tx").asc())
+        F.col("dist2").asc(), F.col("image_id").asc(), F.col("level").asc(),
+        F.col("ty").asc(), F.col("tx").asc())
     return (cand.withColumn("dist2", d2)
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -249,8 +249,8 @@ def knn_join_adaptive(points: DataFrame, tiles: DataFrame, k: int = 5,
         d2 = (F.col("lon") - cx) * (F.col("lon") - cx) \
             + (F.col("lat") - cy) * (F.col("lat") - cy)
         w = Window.partitionBy("point_id").orderBy(
-            F.col("dist2").asc(), F.col("image_id").asc(), F.col("ty").asc(),
-            F.col("tx").asc())
+            F.col("dist2").asc(), F.col("image_id").asc(),
+            F.col("level").asc(), F.col("ty").asc(), F.col("tx").asc())
         ranked = (cand.join(resolved_ids, "point_id")
                   .withColumn("dist2", d2)
                   .withColumn("rank", F.row_number().over(w))
@@ -496,10 +496,13 @@ def zonal_pixel_stats(zones: DataFrame, images: DataFrame,
     """Per-zone statistics over the actual raster values of overlapping
     tiles: the metadata zonal join (cover cells + overlap refine) enriched
     with the tile pixel stats — mean = Σsum/Σcount across the zone's tiles."""
+    # zonal_join needs only the (cheap, closed-form) extents; the expensive
+    # pixel-decode stats join AFTER the zone pairing, exactly once — joining
+    # stats into the zonal input too was a no-op filter that planned (and
+    # ran) the whole decode subtree twice (r5 self-review)
     extents = tile_manifest(images, tile=tile, level=0)
     stats = tile_pixel_stats(images, tile=tile)
-    tiles = extents.join(stats, ["image_id", "ty", "tx"])
-    pairs = zonal_join(zones, tiles.withColumn("level", F.lit(0)), res=res)
+    pairs = zonal_join(zones, extents, res=res)
     enriched = pairs.join(stats, ["image_id", "ty", "tx"])
     return (enriched.groupBy("zone_id")
             .agg(F.count(F.lit(1)).alias("n_tiles"),

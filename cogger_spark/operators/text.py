@@ -129,6 +129,11 @@ def _distributed_running_sum(df: DataFrame, order_cols, val_col,
     persistent-RDD registry is empty after the callers' queries complete.
     """
     spark = df.sparkSession
+    vt = df.schema[val_col].dataType.simpleString()
+    if vt not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"_distributed_running_sum sums into an int64 buffer; "
+            f"{val_col} is {vt} (a float value would be silently truncated)")
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
     keys = [F.col(c) if isinstance(c, str) else c for c in order_cols]
@@ -364,8 +369,11 @@ def pack_sequences(docs: DataFrame, budget: int = 1024) -> DataFrame:
     sort, the same cost as any deterministic packing.
 
     NOTE on the closed form: clipping makes every n <= budget, but a doc
-    can still straddle a floor boundary; the emitted bin is the bin its
-    LAST token lands in under back-to-back packing. That is the standard
+    can still straddle a floor boundary; the emitted bin_id is the bin its
+    LAST token lands in, while bin_offset is the offset of its FIRST token
+    within ITS OWN bin, floor((cum - n)/budget) — for a straddling doc the
+    two refer to adjacent bins, so a writer should place the doc at
+    bin_offset of bin (cum - n) // budget and let it run into bin_id. That is the standard
     'document-boundary-agnostic' packing used for causal-LM pretraining
     (samples are cut at budget boundaries regardless of doc edges), not
     first-fit bin packing.

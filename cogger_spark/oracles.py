@@ -642,12 +642,10 @@ GROUP BY 1, 2
 # vsum = Σ_b v = 10*nb*(nb-1) + 2*nb*(2*by + bx)  (mask plane excluded, as in
 # tile_pixel_stats). This pins the engine's REAL decode+slice kernel against
 # pure SQL — not just metadata.
-TILE_PIXEL_SUMS = f"""
-WITH img AS (
-  SELECT image_id, w, h, CAST(substr(image_id, 5, 8) AS BIGINT) AS img_idx
-  FROM {IMAGES}
-),
-banded AS (
+# shared CTE tail (img -> 128px-block x tile intersection pieces) used by
+# TILE_PIXEL_SUMS and ZONAL_PIXEL_STATS; expects an `img(image_id, w, h,
+# img_idx)` CTE upstream.
+_PIXEL_PIECES_TAIL = """banded AS (
   SELECT *, CASE img_idx % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS nb
   FROM img
 ),
@@ -680,7 +678,14 @@ pieces AS (
     GREATEST(x0, bx * 128) AS xs,
     LEAST(x1, (bx + 1) * 128) AS xe
   FROM blk
+)"""
+
+TILE_PIXEL_SUMS = f"""
+WITH img AS (
+  SELECT image_id, w, h, CAST(substr(image_id, 5, 8) AS BIGINT) AS img_idx
+  FROM {IMAGES}
 ),
+{_PIXEL_PIECES_TAIL},
 summed AS (
   SELECT image_id, ty, tx,
     SUM(ny
@@ -694,6 +699,50 @@ summed AS (
 SELECT image_id, CAST(ty AS BIGINT) AS ty, CAST(tx AS BIGINT) AS tx,
        CAST(px_count AS BIGINT) AS px_count, CAST(px_sum AS BIGINT) AS px_sum
 FROM summed
+"""
+
+# J7+ zonal PIXEL stats: the bbox-overlap zone pairing (same join as
+# ZONAL_STATS) aggregated over the closed-form per-tile pixel stats. Extra
+# closed forms beyond TILE_PIXEL_SUMS (value = (x%4) * v(b,by,bx), v >= 0,
+# no uint8 wrap at TEST_DIMS <= 513 where max = 2*(30+8+4)*3 = 252):
+#   px_min = 0 for every tile — each piece starts at xs ≡ 0 (mod 4) (tile
+#     and block edges are multiples of 4), so weight x%4 = 0 is attained;
+#   px_max = max over pieces of v_max * w_max with v_max = 2*((nb-1)*10 +
+#     2*by + bx) (largest band) and w_max = LEAST(xe-xs-1, 3) (weights
+#     cycle 0,1,2,3 from xs).
+ZONAL_PIXEL_STATS = f"""
+WITH {_MANIFEST_CTE},
+{_PIXEL_PIECES_TAIL},
+tile_stats AS (
+  SELECT image_id, ty, tx,
+    SUM(ny
+        * ((6 * (xe // 4) + (CASE xe % 4 WHEN 2 THEN 1 WHEN 3 THEN 3 ELSE 0 END))
+           - (6 * (xs // 4) + (CASE xs % 4 WHEN 2 THEN 1 WHEN 3 THEN 3 ELSE 0 END)))
+        * (10 * nb * (nb - 1) + 2 * nb * (2 * by + bx))) AS px_sum,
+    SUM(ny * (xe - xs)) * MAX(nb) AS px_count,
+    MIN(0) AS px_min,
+    MAX(2 * ((nb - 1) * 10 + 2 * by + bx) * LEAST(xe - xs - 1, 3)) AS px_max
+  FROM pieces
+  GROUP BY image_id, ty, tx
+),
+pairs AS (
+  SELECT z.zone_id, t.image_id, t.ty, t.tx
+  FROM {ZONES} z
+  JOIN manifest t
+    ON t.lon_min < z.lon_max AND t.lon_max > z.lon_min
+   AND t.lat_min < z.lat_max AND t.lat_max > z.lat_min
+  WHERE t.level = 0
+)
+SELECT p.zone_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tiles,
+  CAST(SUM(s.px_sum) AS BIGINT) AS value_sum,
+  CAST(SUM(s.px_count) AS BIGINT) AS value_count,
+  CAST(MIN(s.px_min) AS BIGINT) AS value_min,
+  CAST(MAX(s.px_max) AS BIGINT) AS value_max,
+  ROUND(SUM(s.px_sum) / (SUM(s.px_count) * 1.0), 6) AS value_mean
+FROM pairs p
+JOIN tile_stats s USING (image_id, ty, tx)
+GROUP BY p.zone_id
 """
 
 # semantic dedup: transitive closure over the exact blocked cosine pairs

@@ -91,6 +91,16 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial.zonal_stats(_zones(spark), tiles)
 
 
+def q_zonal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7+ — zonal statistics over DECODED raster values: the cell-bucketed
+    zone pairing runs on closed-form manifest extents, then the per-tile
+    pixel stats (one mapInPandas decode, plan-tested to appear exactly once)
+    join in and aggregate per zone. Oracle: the same closed-form fixture
+    pattern that pins tile_pixel_sums, extended with per-tile min/max."""
+    out = spatial.zonal_pixel_stats(_zones(spark), _images(spark))
+    return _longs(out, "value_min", "value_max")
+
+
 def q_phash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial.phash_canonical(_images(spark))
 
@@ -171,6 +181,7 @@ SPATIAL_QUERIES = {
     "knn_join": q_knn_join,
     "knn_adaptive": q_knn_adaptive,
     "zonal_stats": q_zonal_stats,
+    "zonal_pixel_stats": q_zonal_pixel_stats,
     "phash_canonical": q_phash_canonical,
     "dedup_images": q_dedup_images,
 }

@@ -44,6 +44,10 @@ def main() -> None:
          "strip-routed pixel stats: bounded level-0 strip relation → narrow "
          "per-strip stats kernel, no whole-image task memory"),
         ("zonal_stats", "broadcast zones → cover-cell join → hash agg"),
+        ("zonal_pixel_stats",
+         "pixel-level zonal stats: zone pairing on closed-form extents, "
+         "then ONE mapInPandas decode subtree joins in post-pairing "
+         "(plan-tested single decode; r5)"),
         ("phash_canonical", "partial+final hash aggregate, no window"),
         ("nation_revenue", "broadcast dim join + partial aggregation"),
         ("pricing_summary", "filter pushdown + partial/final agg"),

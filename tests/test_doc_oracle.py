@@ -126,6 +126,33 @@ def test_simhash_pairs_runs_and_is_symmetric_free(spark):
         assert r.hamming <= 3
 
 
+def test_simhash_pairs_guards(spark):
+    """max_hamming > 3 would make the 4x16-bit pigeonhole blocking LOSSY
+    (a 4-bit difference can spread one bit per chunk) — rejected loudly
+    instead of silently dropping qualifying pairs; null texts are filtered
+    before the signature UDF rather than crashing it."""
+    from cogger_spark.operators.dedup import simhash_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, None)],
+        "doc_id long, text string")
+    with pytest.raises(ValueError, match="lossless"):
+        simhash_pairs(docs, max_hamming=4)
+    rows = simhash_pairs(docs, max_hamming=3).collect()
+    assert [(r.doc_a, r.doc_b) for r in rows] == [(1, 2)]
+
+
+def test_running_sum_rejects_float_values(spark):
+    """The per-partition totals are summed into int64; a float value column
+    would be silently truncated — guarded with a loud TypeError."""
+    from cogger_spark.operators.text import _distributed_running_sum
+
+    df = spark.createDataFrame([(1, 1.5)], "k long, v double")
+    with pytest.raises(TypeError, match="int64"):
+        _distributed_running_sum(df, ["k"], "v", "cum")
+
+
 def test_ann_ivf_recall_vs_brute_force(spark):
     bf = queries.q_ann_cosine_topk(spark, SF_DIR).collect()
     ivf = queries.ALL_QUERIES["ann_ivf_topk"](spark, SF_DIR).collect()

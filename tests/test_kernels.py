@@ -112,6 +112,59 @@ def test_k_ring_clamps_at_border():
     assert len(set(ring[0].tolist())) == 4  # corner: 2x2 distinct
 
 
+def test_k_ring_rejects_mixed_resolution():
+    """Mixed-res input would re-pack every id with the first row's res
+    header, silently producing cells of an unrelated grid — guarded."""
+    lon, lat = np.array([10.0]), np.array([10.0])
+    mixed = np.concatenate([cells.cell_encode(lon, lat, 10),
+                            cells.cell_encode(lon, lat, 11)])
+    with pytest.raises(ValueError, match="uniform cell resolution"):
+        cells.k_ring(mixed, 1)
+
+
+def test_k_ring_scalar_and_empty_inputs():
+    c = cells.cell_encode(np.array([10.0]), np.array([10.0]), 10)
+    scalar_ring = cells.k_ring(c[0], 1)  # 0-d scalar accepted
+    assert scalar_ring.shape == (1, 9)
+    assert np.array_equal(scalar_ring, cells.k_ring(c, 1))
+    empty = cells.k_ring(np.empty(0, dtype=np.uint64), 2)
+    assert empty.shape == (0, 25) and empty.dtype == np.uint64
+
+
+def test_minhash_family_exact_mod_p():
+    """The (a*x+b) mod p permutation family must be computed exactly in
+    uint64: a < 2^32 and odd (so a*x never wraps for crc32 shingles), and
+    the vectorized signature equals arbitrary-precision Python-int
+    arithmetic term for term (r5 self-review: the old unreduced a wrapped
+    mod 2^64 first, which is a different — and unanalyzed — hash family)."""
+    from cogger_spark.operators import dedup
+
+    assert (dedup._A < (1 << 32)).all()
+    assert (dedup._A % 2 == 1).all()
+    th = dedup._shingle_hashes("the quick brown fox jumps over the lazy dog")
+    assert len(th) > 0 and (th < (1 << 32)).all()
+    vals = ((th[None, :] * dedup._A[:, None]) % np.uint64(dedup._P)
+            + dedup._B[:, None]) % np.uint64(dedup._P)
+    sig = vals.min(axis=1).astype(np.int64)
+    for i in (0, 17, 63):
+        expect = min((int(dedup._A[i]) * int(x) + int(dedup._B[i])) % dedup._P
+                     for x in th.tolist())
+        assert int(sig[i]) == expect
+
+
+def test_kmeans_sample_smaller_than_k():
+    """IVF training on a tiny corpus: k clamps to the sample size instead
+    of crashing inside np.random.choice; empty sample fails loudly."""
+    from cogger_spark.operators.similarity import _kmeans
+
+    sample = np.arange(12, dtype=np.float64).reshape(3, 4)
+    cent = _kmeans(sample, k=8)
+    assert cent.shape == (3, 4)
+    assert {tuple(r) for r in cent} == {tuple(r) for r in sample}
+    with pytest.raises(ValueError, match="empty training sample"):
+        _kmeans(np.empty((0, 4)), k=4)
+
+
 def test_cover_bbox():
     res = 10
     size = cells.cell_size_deg(res)

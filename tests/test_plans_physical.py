@@ -52,6 +52,18 @@ def test_zonal_join_broadcasts_zones(spark, fixture_dir):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_zonal_pixel_stats_decodes_once(spark, fixture_dir):
+    """The expensive pixel-decode subtree must appear exactly ONCE in the
+    plan: the zone pairing runs on the closed-form manifest extents and the
+    stats join in after it (r5 self-review — joining stats into the zonal
+    input too planned, and ran, the whole decode twice)."""
+    from cogger_spark.fixtures import FIXTURE_DIR
+    images = spark.read.parquet(str(FIXTURE_DIR / "images_test.parquet"))
+    zones = spark.read.parquet(str(FIXTURE_DIR / "zones_test.parquet"))
+    plan = _plan(spatial.zonal_pixel_stats(zones, images))
+    assert plan.count("MapInPandas") == 1, plan
+
+
 def test_pip_join_is_equi_join_on_cells(spark, fixture_dir):
     from cogger_spark.fixtures import FIXTURE_DIR
     images = spark.read.parquet(str(FIXTURE_DIR / "images_test.parquet"))

@@ -41,6 +41,7 @@ CASES = [
     ("knn_join", oracles.KNN_JOIN),
     ("knn_adaptive", oracles.KNN_ADAPTIVE),
     ("zonal_stats", oracles.ZONAL_STATS),
+    ("zonal_pixel_stats", oracles.ZONAL_PIXEL_STATS),
     ("phash_canonical", oracles.PHASH_CANONICAL),
     ("point_grid_counts", oracles.POINT_GRID_COUNTS),
     ("dedup_images", oracles.DEDUP_IMAGES),
