@@ -380,3 +380,66 @@ def test_asof_join_null_payload_field_not_blended(spark):
     got = asof_join(left, right, payload=("event_id", "value")).collect()[0]
     assert got.event_id_prior == 101
     assert got.value_prior is None  # NOT 5.0 from the older row
+
+
+def test_asof_join_randomized_vs_duckdb(spark):
+    """Randomized differential sweep: the union-fill-down as-of join equals
+    DuckDB's NATIVE ASOF LEFT JOIN on fixed-seed random data — sparse and
+    hot keys, left rows before/after all right rows, keys present on only
+    one side, and null left timestamps (never matched). Right rows are
+    unique per (key, ts) (both engines leave duplicate winners undefined)."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+
+    from cogger_spark.operators.temporal import asof_join
+
+    rng = np.random.RandomState(42)
+    base = dt.datetime(2024, 1, 1)
+    t = lambda s: base + dt.timedelta(seconds=int(s))
+    left_pd = pd.DataFrame({
+        "event_id": np.arange(300, dtype=np.int64),
+        "user_id": rng.randint(0, 12, 300).astype(np.int64),
+        "ts": [None if rng.rand() < 0.05 else t(rng.randint(0, 5000))
+               for _ in range(300)],
+    })
+    right_pd = pd.DataFrame({
+        "event_id": np.arange(1000, 1200, dtype=np.int64),
+        "user_id": rng.randint(0, 15, 200).astype(np.int64),  # 12-14: right-only
+        "ts": [t(rng.randint(0, 5000)) for _ in range(200)],
+        "value": np.round(rng.rand(200) * 100, 3),
+    }).drop_duplicates(["user_id", "ts"])
+
+    left = spark.createDataFrame(
+        left_pd, "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        right_pd, "event_id long, user_id long, ts timestamp, value double")
+    got = (asof_join(left, right, payload=("event_id", "value"))
+           .toPandas()
+           .sort_values("event_id").reset_index(drop=True))
+
+    import duckdb
+    con = duckdb.connect()
+    con.register("l", left_pd)
+    con.register("r", right_pd)
+    # NULL-ts left rows are handled OUTSIDE the reference ASOF: DuckDB 1.0's
+    # ASOF quirkily binds a NULL probe to the LARGEST right ts (verified:
+    # `l.ts >= r.ts` is never true for NULL, yet the join matches), while
+    # this engine — like pandas merge_asof and the predicate semantics —
+    # gives them no match, as documented in asof_join's docstring.
+    want = con.execute("""
+        SELECT l.event_id, l.user_id, l.ts,
+               r.event_id AS event_id_prior, r.value AS value_prior
+        FROM (FROM l WHERE ts IS NOT NULL) l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+        UNION ALL
+        SELECT event_id, user_id, ts, NULL, NULL FROM l WHERE ts IS NULL
+        ORDER BY event_id
+    """).df().reset_index(drop=True)
+
+    assert len(got) == len(want) == 300
+    for col in ("event_id_prior", "value_prior"):
+        g, w = got[col], want[col]
+        assert ((g.isna() == w.isna()).all()
+                and (g.dropna() == w.dropna()).all()), col
