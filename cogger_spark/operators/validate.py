@@ -30,6 +30,11 @@ def with_validity(images: DataFrame) -> DataFrame:
         F.when((F.col("w") <= 0) | (F.col("h") <= 0), "nonpositive dims")
         .when((F.col("w") > MAX_DIM) | (F.col("h") > MAX_DIM), "dims out of range")
         .when(~F.col("fmt").isin(*KNOWN_FMTS), "unknown fmt")
+        # explicit null check: a NULL payload would make the raw-size
+        # predicate three-valued-NULL and fall through every `when` into
+        # the valid branch (r5 self-review)
+        .when(F.col("bytes").isNull() | (F.length("bytes") == 0),
+              "missing payload")
         .when(F.col("caption").isNull() | (F.length("caption") == 0), "missing caption")
         .when((F.col("fmt") == "raw") & ~raw_planes_ok, "bad raw payload size")
         .otherwise(F.lit(None)))

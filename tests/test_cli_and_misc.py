@@ -36,7 +36,11 @@ def test_validate_images_split(spark, smoke_images):
         [("bad_dim", b"\x00", -1, 4, "raw", "c", 0),
          ("bad_fmt", b"\x00", 1, 1, "bmp", "c", 0),
          ("bad_size", b"\x00\x00\x00", 2, 1, "raw", "c", 0),
-         ("bad_caption", b"\x00\x00", 2, 1, "raw", "", 0)],
+         ("bad_caption", b"\x00\x00", 2, 1, "raw", "", 0),
+         # NULL payload must be quarantined, not fall through the
+         # three-valued raw-size predicate into the valid set
+         ("bad_null_bytes", None, 2, 1, "raw", "c", 0),
+         ("bad_empty_bytes", b"", 2, 1, "deflate", "c", 0)],
         "image_id string, bytes binary, w int, h int, fmt string, "
         "caption string, phash long")
     valid, rejects = validate_images(good.unionByName(bad))
@@ -44,7 +48,9 @@ def test_validate_images_split(spark, smoke_images):
     got = {r.image_id: r.reject_reason for r in rejects.collect()}
     assert got == {"bad_dim": "nonpositive dims", "bad_fmt": "unknown fmt",
                    "bad_size": "bad raw payload size",
-                   "bad_caption": "missing caption"}
+                   "bad_caption": "missing caption",
+                   "bad_null_bytes": "missing payload",
+                   "bad_empty_bytes": "missing payload"}
 
 
 def test_resume_delta_anti_join(spark):
