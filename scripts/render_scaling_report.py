@@ -20,14 +20,27 @@ REPO = pathlib.Path(__file__).parent.parent
 
 
 def load(path):
-    p = pathlib.Path(path)
-    if not p.exists():
-        # fall back to the in-repo archive (BENCH/raw/) so the report stays
-        # reproducible after /tmp is cleaned
-        p = REPO / "BENCH" / "raw" / pathlib.Path(path).name
-    if not p.exists():
-        return []
-    return [json.loads(l) for l in p.read_text().splitlines() if l.strip()]
+    """Union of the live file and the in-repo archive (BENCH/raw/), deduped
+    by record identity — /tmp may be stale (sessions appended straight to
+    the archive) OR the archive may lag /tmp, and preferring either file
+    whole silently drops the other's newer records (same failure class as
+    the ADVICE-r4 config-keyed pair drop)."""
+    seen, out = set(), []
+    for p in (pathlib.Path(path),
+              REPO / "BENCH" / "raw" / pathlib.Path(path).name):
+        if not p.exists():
+            continue
+        for l in p.read_text().splitlines():
+            if not l.strip():
+                continue
+            rec = json.loads(l)
+            key = rec.get("ts") or json.dumps(rec, sort_keys=True)
+            if key in seen:
+                continue
+            seen.add(key)
+            out.append(rec)
+    out.sort(key=lambda r: r.get("ts", ""))
+    return out
 
 
 def main() -> None:
@@ -48,8 +61,15 @@ def main() -> None:
         ctrl_perproc = round(r["control_speedup"] / 4, 3)
         norm = round((b32["img_s"] / b8["img_s"]) / r["control_speedup"], 3) \
             if r["control_speedup"] else None
+        # a session whose timed windows saw significant CPU from processes
+        # OUTSIDE the probe tree (other_box_cpu_sec >> 0; clean sessions sit
+        # near 0) measured the box plus a foreign workload — still reported
+        # (no window-picking), but flagged so its efficiency is not quoted
+        foreign = max((run.get("other_box_cpu_sec", 0.0)
+                       for rs in r["runs"].values() for run in rs), default=0.0)
+        flag = " *" if foreign > 20 or r.get("note") else ""
         srows.append(
-            f"| {i} | {b8['img_s']} | {b32['img_s']} | {b8['avg_cpus_busy']} | "
+            f"| {i}{flag} | {b8['img_s']} | {b32['img_s']} | {b8['avg_cpus_busy']} | "
             f"{b32['avg_cpus_busy']} | {r['eff_raw']} | {r['eff_granted']} | "
             f"{r['control_speedup']} | {ctrl_perproc} | {norm} |")
 
@@ -139,6 +159,12 @@ from r5, post strip-path optimizations), ALL reported:
 |---|---|---|---|---|---|---|---|---|---|
 {chr(10).join(srows)}
 
+`*` = the timed windows saw significant CPU from processes outside the
+probe tree (`other_box_cpu_sec` ≫ 0 in the raw record; clean sessions sit
+near 0) — e.g. the build harness's own test suite running concurrently.
+Flagged sessions are reported (no window-picking) but their efficiencies
+measure the box plus a foreign workload and are not quoted.
+
 **Metric definitions.** *Granted CPUs* = whole-box /proc/stat busy
 (user+nice+system+irq+softirq) during exactly the timed window, EXCLUDING
 idle, iowait, and steal — `local[N]` keeps ~1.2N CPUs busy (the JVM
@@ -211,7 +237,7 @@ See BENCH_r{{N}}.json (driver-captured per round) and README "Measured".
 Raw JSON (sessions, then sweep pairs):
 
 ```json
-{chr(10).join(json.dumps({k: r[k] for k in ('ts', 'best', 'control_wall_s', 'throughput_ratio', 'granted_cpu_ratio', 'eff_raw', 'eff_granted', 'control_speedup')}) for r in sessions)}
+{chr(10).join(json.dumps({k: r[k] for k in ('ts', 'best', 'control_wall_s', 'throughput_ratio', 'granted_cpu_ratio', 'eff_raw', 'eff_granted', 'control_speedup', 'note') if k in r}) for r in sessions)}
 {chr(10).join(json.dumps(r) for r in sweeps)}
 ```
 """
