@@ -9,7 +9,8 @@ actually relies on, over plain partitioned parquet:
   pruning happens underneath;
 * snapshot isolation + time travel: every append writes a new snapshot JSON
   listing its files; reads pin a snapshot (default: latest) and only read
-  its files;
+  its files — by id (snapshot_id=) or by commit time (as_of=, the
+  FOR SYSTEM_TIME AS OF form; see snapshot_as_of);
 * metadata tables: snapshots / files (row counts per partition);
 * row-level ops: upsert + predicate MERGE INTO (merge_into), copy-on-write
   at FILE granularity — the target scan is pruned by bucket (under each
@@ -240,9 +241,26 @@ def _residual_filter(df: DataFrame, filters) -> DataFrame:
     return df
 
 
+def snapshot_as_of(path: str, ts: str) -> str:
+    """Iceberg `FOR SYSTEM_TIME AS OF` resolution: the id of the LAST
+    snapshot committed at or before `ts` (ISO-8601 UTC, e.g.
+    '2024-01-01T12:00:00Z'). Commit timestamps are second-resolution, so
+    among same-second commits the highest sequence wins (the chain order).
+    Raises KeyError when the table has no snapshot that old — including
+    when that history has been expired (real Iceberg: time travel below
+    the oldest retained snapshot fails)."""
+    _, chain = _snapshot_files(path, None)
+    eligible = [r for r in chain if r["timestamp"] <= ts]
+    if not eligible:
+        raise KeyError(
+            f"no snapshot at or before {ts} (oldest retained: "
+            f"{chain[0]['timestamp']})")
+    return max(eligible, key=lambda r: r["sequence"])["snapshot_id"]
+
+
 def read_table(spark: SparkSession, path: str,
                snapshot_id: str | None = None,
-               filters=None) -> DataFrame:
+               filters=None, as_of: str | None = None) -> DataFrame:
     """Read a snapshot (default latest). Filters on fmt / p_bucket prune
     partitions; `bucket_for` computes the bucket of an image_id so point
     lookups can prune to one directory. `filters` — a conjunction of
@@ -250,7 +268,13 @@ def read_table(spark: SparkSession, path: str,
     manifest-recorded column bounds exclude the predicate (Iceberg
     column-stats data skipping, see plan_files), then applies the same
     predicate to the surviving rows, so results are identical to an
-    unpruned read + filter."""
+    unpruned read + filter. `as_of` time-travels by commit timestamp
+    (FOR SYSTEM_TIME AS OF) instead of id — mutually exclusive with
+    snapshot_id."""
+    if as_of is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id or as_of, not both")
+        snapshot_id = snapshot_as_of(path, as_of)
     if filters:
         files, _ = plan_files(path, snapshot_id, filters)
         if not files:

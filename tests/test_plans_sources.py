@@ -67,6 +67,49 @@ def test_iceberg_shim_partition_pruning_and_time_travel(spark, smoke_images, tmp
     assert 0 < one.count() < images.count()
 
 
+def test_iceberg_shim_time_travel_as_of_timestamp(spark, smoke_images,
+                                                  tmp_path):
+    """FOR SYSTEM_TIME AS OF: read_table(as_of=ts) resolves to the LAST
+    snapshot committed at or before ts; same-second commits resolve by
+    sequence; a ts before all retained history raises (like real Iceberg
+    after expiry). Commit times are pinned by rewriting the second-
+    resolution timestamps in the snapshot manifests to known values."""
+    import json
+
+    # orderBy before limit: a bare limit re-evaluates nondeterministically
+    # across the three jobs and the slices would overlap
+    images = spark.read.parquet(smoke_images).orderBy("image_id")
+    tbl = str(tmp_path / "asof_table")
+    shim.write_table(images.limit(10), tbl, n_buckets=4)
+    snap1 = shim.append(images.limit(20).subtract(images.limit(10)), tbl,
+                        n_buckets=4)
+    snap2 = shim.append(images.limit(25).subtract(images.limit(20)), tbl,
+                        n_buckets=4)
+
+    md = sorted((tmp_path / "asof_table" / "_shim_metadata")
+                .glob("snap_*.json"))
+    # snap0 at 01:00; snap1 and snap2 BOTH at 02:00 (same-second commits)
+    for p, ts in zip(md, ("2024-01-01T01:00:00Z", "2024-01-01T02:00:00Z",
+                          "2024-01-01T02:00:00Z")):
+        rec = json.loads(p.read_text())
+        rec["timestamp"] = ts
+        p.write_text(json.dumps(rec))
+
+    assert shim.read_table(spark, tbl,
+                           as_of="2024-01-01T01:30:00Z").count() == 10
+    # same-second tie: highest sequence (snap2) wins
+    assert shim.snapshot_as_of(tbl, "2024-01-01T02:00:00Z") == snap2
+    assert shim.read_table(spark, tbl,
+                           as_of="2024-01-01T02:00:00Z").count() == 25
+    assert shim.read_table(spark, tbl,
+                           as_of="2030-01-01T00:00:00Z").count() == 25
+    with pytest.raises(KeyError, match="no snapshot at or before"):
+        shim.snapshot_as_of(tbl, "2024-01-01T00:59:59Z")
+    with pytest.raises(ValueError, match="not both"):
+        shim.read_table(spark, tbl, snapshot_id=snap1,
+                        as_of="2024-01-01T02:00:00Z")
+
+
 def test_streaming_available_now_matches_batch(spark, smoke_images, tmp_path):
     from cogger_spark.streaming.ingest import stream_tile_manifest
     in_dir = str(tmp_path / "in")
