@@ -18,8 +18,12 @@ actually relies on, over plain partitioned parquet:
   files carry into the new snapshot untouched, with `removed` file lists
   folded by readers in sequence order; key-duplicated sources are rejected
   (Iceberg's 'multiple source rows matched');
-* scan planning: file-level column min/max recorded at commit
+* scan planning: partition-value pruning (hive path segments evaluated
+  exactly) + file-level column min/max recorded at commit
   (plan_files / read_table(filters=...) data skipping);
+* row-level DELETE: delete_where(filters) — COW rewrite of only the files
+  whose partition values / column bounds admit a matching row;
+* rollback: rollback_to(snapshot_id) — history-preserving restore commit;
 * evolution: add-column schema evolution (null backfill) and metadata-only
   partition-spec evolution (evolve_partition_spec);
 * maintenance: crash-safe snapshot expiry + orphan reclaim, bin-pack
@@ -142,16 +146,34 @@ def _maybe_satisfies(op: str, value, lo, hi) -> bool:
     return True
 
 
+def _coerce_partition_value(s: str, like):
+    """Parse a hive path value ('fmt=raw' -> 'raw') into the filter value's
+    type so partition pruning compares like with like."""
+    if isinstance(like, bool):
+        return s.lower() == "true"
+    if isinstance(like, int):
+        return int(s)
+    if isinstance(like, float):
+        return float(s)
+    return s
+
+
 def plan_files(path: str, snapshot_id: str | None = None,
                filters=None) -> tuple[list[str], list[str]]:
-    """Scan planning with file-level column-stats data skipping (real
-    Iceberg's manifest-entry bounds pruning — the most-used read
-    optimization after partition pruning). `filters` is a conjunction of
-    (column, op, value) triples, op in {==, <, <=, >, >=, in}. Returns
-    (kept_files, skipped_files): a file is skipped only when some filter's
-    column has recorded bounds that PROVE no row can match; files from
-    pre-stats snapshots (or on un-stat'ed columns) are always kept.
-    Pure metadata — no parquet data is touched."""
+    """Scan planning with the two manifest-level prunes real Iceberg runs:
+
+    * PARTITION pruning: a filter on a partition column (hive `k=v` path
+      segments — fmt, p_bucket) is evaluated EXACTLY against each file's
+      partition value (partition columns live in the path, not the parquet
+      footer, so stats can't see them);
+    * file-level column-stats data skipping (manifest-entry bounds): a file
+      is skipped when some filter's column has recorded [min,max] bounds
+      that PROVE no row can match.
+
+    `filters` is a conjunction of (column, op, value) triples, op in
+    {==, <, <=, >, >=, in}. Returns (kept_files, skipped_files); files from
+    pre-stats snapshots (or with un-stat'ed, non-partition columns) are
+    always kept. Pure metadata — no parquet data is touched."""
     files, chain = _snapshot_files(path, snapshot_id)
     stats: dict[str, dict] = {}
     for rec in chain:
@@ -160,9 +182,23 @@ def plan_files(path: str, snapshot_id: str | None = None,
         return files, []
     kept, skipped = [], []
     for f in files:
+        parts = dict(seg.split("=", 1) for seg in f.split("/")
+                     if "=" in seg and not seg.endswith(".parquet"))
         fb = stats.get(f, {})
         ok = True
         for col, op, value in filters:
+            if col in parts:
+                try:
+                    like = value[0] if op == "in" and value else value
+                    v = _coerce_partition_value(parts[col], like)
+                except (ValueError, IndexError):
+                    continue  # unparseable: keep the file (conservative)
+                # a partition value is a point: bounds [v, v] make
+                # _maybe_satisfies an exact predicate evaluation
+                if not _maybe_satisfies(op, value, v, v):
+                    ok = False
+                    break
+                continue
             b = fb.get(col)
             if b is not None and not _maybe_satisfies(op, value, b[0], b[1]):
                 ok = False
@@ -617,6 +653,82 @@ def merge_into(spark: SparkSession, source: DataFrame, path: str,
         list(partition_cols) + [f"bucket({on})%{n_buckets}"],
         removed=affected, snap_id=snap_id,
         schema=[[f.name, f.dataType.simpleString()] for f in survivors.schema])
+
+
+def delete_where(spark: SparkSession, path: str, filters,
+                 n_buckets: int | None = None, partition_cols=None) -> str:
+    """Iceberg `DELETE FROM t WHERE ...` with copy-on-write semantics: only
+    files whose manifest-recorded column bounds ADMIT a matching row are
+    rewritten (the same plan_files data skipping as a filtered read); every
+    bounds-excluded file carries into the new snapshot untouched — exactly
+    how real COW DELETE rewrites only files containing deleted rows.
+
+    `filters` uses the read_table convention: a conjunction of
+    (column, op, value) triples, op in {==, <, <=, >, >=, in}. Rows where
+    the predicate evaluates NULL are KEPT (SQL DELETE removes only rows
+    where the predicate is TRUE). A delete the stats prove can touch no
+    file is a metadata no-op: the current snapshot id is returned and no
+    commit is written. Earlier snapshots keep the deleted rows (snapshot
+    isolation / time travel)."""
+    if not filters:
+        raise ValueError(
+            "delete_where requires a filter conjunction (a full-table "
+            "delete should be an explicit overwrite, not a default)")
+    spec_buckets, spec_cols, spec_key = _table_spec(path)
+    if n_buckets is None:
+        n_buckets = spec_buckets
+    if partition_cols is None:
+        partition_cols = spec_cols
+    maybe, _skipped = plan_files(path, None, filters)
+    if not maybe:
+        _, chain = _snapshot_files(path, None)
+        return chain[-1]["snapshot_id"]
+    tgt = _read_files_union(spark, path, maybe).drop("p_bucket")
+    match = F.lit(True)
+    for col, op, value in filters:
+        c = F.col(col)
+        cond = c.isin(*value) if op == "in" else \
+            {"==": c == value, "=": c == value, "<": c < value,
+             "<=": c <= value, ">": c > value, ">=": c >= value}[op]
+        match = match & cond
+    # NULL predicate keeps the row: only TRUE deletes
+    survivors = tgt.filter(~F.coalesce(match, F.lit(False)))
+    snap_id = uuid.uuid4().hex[:12]
+    data_dir = pathlib.Path(path) / f"data_{snap_id}"
+    out = survivors.withColumn("p_bucket",
+                               bucket_for(F.col(spec_key), n_buckets))
+    (out.write.mode("overwrite")
+        .partitionBy(*partition_cols, "p_bucket")
+        .parquet(str(data_dir)))
+    new_files = [str(p.relative_to(path)) for p in data_dir.rglob("*.parquet")]
+    return _write_snapshot(
+        path, new_files, "delete",
+        list(partition_cols) + [f"bucket({spec_key})%{n_buckets}"],
+        removed=maybe, snap_id=snap_id,
+        schema=[[f.name, f.dataType.simpleString()] for f in survivors.schema])
+
+
+def rollback_to(path: str, snapshot_id: str) -> str:
+    """Iceberg rollback_to_snapshot: a NEW commit whose effective file list
+    is exactly the table state at `snapshot_id`. History is preserved — the
+    rolled-back-over snapshots stay time-travelable until expire_snapshots
+    reclaims them, matching Iceberg's rollback (which moves the current
+    pointer by appending to the metadata log, never by erasing it).
+    Partition spec and schema revert to the target snapshot's state, so
+    subsequent writes use the restored layout. Raises KeyError when the
+    target snapshot has been expired. Metadata-only: no data moves."""
+    restored, _ = _snapshot_files(path, snapshot_id)
+    cur_files, chain = _snapshot_files(path, None)
+    prefix = []
+    for rec in chain:
+        prefix.append(rec)
+        if rec["snapshot_id"] == snapshot_id:
+            break
+    return _write_snapshot(
+        path, restored, "rollback",
+        prefix[-1]["partition_spec"],
+        removed=cur_files,
+        schema=prefix[-1].get("schema", []))
 
 
 def expire_snapshots(path: str, keep_last: int = 1) -> dict:

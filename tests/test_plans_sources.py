@@ -67,6 +67,70 @@ def test_iceberg_shim_partition_pruning_and_time_travel(spark, smoke_images, tmp
     assert 0 < one.count() < images.count()
 
 
+def test_iceberg_shim_delete_where_cow(spark, smoke_images, tmp_path):
+    """Predicate DELETE: result equals a plain filter of the pre-delete
+    table; file-level stats pruning carries bounds-excluded files untouched
+    (the delete snapshot's rewritten set excludes them); earlier snapshots
+    keep the deleted rows; a provably-no-match delete is a metadata no-op."""
+    images = spark.read.parquet(smoke_images)
+    tbl = str(tmp_path / "del_table")
+    snap0 = shim.write_table(images, tbl, n_buckets=4)
+
+    snap1 = shim.delete_where(spark, tbl, [("fmt", "==", "raw")])
+    left = shim.read_table(spark, tbl)
+    want = images.filter(F.col("fmt") != "raw")
+    assert left.count() == want.count() > 0
+    assert left.filter(F.col("fmt") == "raw").count() == 0
+    # COW prune: only fmt=raw files were rewritten — the delete commit's
+    # removed list stays inside the fmt=raw directories
+    _, chain = shim._snapshot_files(tbl, None)
+    rec = next(r for r in chain if r["snapshot_id"] == snap1)
+    assert rec["operation"] == "delete" and rec["removed"]
+    assert all("fmt=raw" in f for f in rec["removed"])
+    # snapshot isolation: pre-delete snapshot still serves the raw rows
+    assert shim.read_table(spark, tbl, snapshot_id=snap0).count() == \
+        images.count()
+    # no-op: bounds prove no file can match -> current snapshot unchanged
+    n_snaps = len(chain)
+    assert shim.delete_where(spark, tbl,
+                             [("fmt", "==", "no_such_fmt")]) == snap1
+    assert len(shim._snapshot_files(tbl, None)[1]) == n_snaps
+    with pytest.raises(ValueError, match="conjunction"):
+        shim.delete_where(spark, tbl, [])
+
+
+def test_iceberg_shim_rollback_to_snapshot(spark, smoke_images, tmp_path):
+    """rollback_to restores an earlier state as a NEW commit: reads equal
+    the target snapshot, the rolled-back-over history stays
+    time-travelable, and subsequent writes continue from the restored
+    state."""
+    images = spark.read.parquet(smoke_images).orderBy("image_id")
+    tbl = str(tmp_path / "rb_table")
+    snap0 = shim.write_table(images.limit(10), tbl, n_buckets=4)
+    snap1 = shim.append(images.limit(20).subtract(images.limit(10)), tbl,
+                        n_buckets=4)
+    shim.delete_where(spark, tbl, [("fmt", "==", "raw")])
+
+    rb = shim.rollback_to(tbl, snap0)
+    ids_now = {r.image_id for r in
+               shim.read_table(spark, tbl).select("image_id").collect()}
+    ids_at0 = {r.image_id for r in
+               shim.read_table(spark, tbl, snapshot_id=snap0)
+               .select("image_id").collect()}
+    assert ids_now == ids_at0 and len(ids_now) == 10
+    # history preserved: the rolled-back-over append still time-travels
+    assert shim.read_table(spark, tbl, snapshot_id=snap1).count() == 20
+    _, chain = shim._snapshot_files(tbl, None)
+    assert chain[-1]["snapshot_id"] == rb
+    assert chain[-1]["operation"] == "rollback"
+    # the table continues from the restored state
+    shim.append(images.limit(25).subtract(images.limit(20)), tbl,
+                n_buckets=4)
+    assert shim.read_table(spark, tbl).count() == 15
+    with pytest.raises(KeyError):
+        shim.rollback_to(tbl, "definitely_missing")
+
+
 def test_iceberg_shim_time_travel_as_of_timestamp(spark, smoke_images,
                                                   tmp_path):
     """FOR SYSTEM_TIME AS OF: read_table(as_of=ts) resolves to the LAST
