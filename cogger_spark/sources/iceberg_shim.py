@@ -320,7 +320,35 @@ def read_table(spark: SparkSession, path: str,
     else:
         files, _ = _snapshot_files(path, snapshot_id)
     df = _read_files_union(spark, path, files)
+    if df is None:
+        # a snapshot with NO data files (e.g. a delete that removed every
+        # row) is an empty table, not an error: rebuild the frame from the
+        # latest schema recorded at or before the pinned snapshot
+        # (model-based test catch, r5)
+        df = _empty_table_frame(spark, path, snapshot_id)
     return _residual_filter(df, filters) if filters else df
+
+
+def _empty_table_frame(spark: SparkSession, path: str,
+                       snapshot_id: str | None) -> DataFrame:
+    _, chain = _snapshot_files(path, None)
+    if snapshot_id is not None:
+        prefix = []
+        for rec in chain:
+            prefix.append(rec)
+            if rec["snapshot_id"] == snapshot_id:
+                break
+        chain = prefix
+    for rec in reversed(chain):
+        if rec.get("schema"):
+            cols = list(rec["schema"])
+            if not any(n == "p_bucket" for n, _ in cols):
+                cols.append(["p_bucket", "int"])  # hive partition column,
+                # present on every non-empty read — keep schemas congruent
+            ddl = ", ".join(f"`{n}` {t}" for n, t in cols)
+            return spark.createDataFrame([], ddl)
+    raise ValueError(
+        f"table at {path} has no data files and no recorded schema")
 
 
 def bucket_for(image_id_col, n_buckets: int = 16):

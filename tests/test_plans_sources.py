@@ -831,16 +831,18 @@ def test_iceberg_shim_partition_spec_evolution(spark, smoke_images, tmp_path):
 
 def test_iceberg_shim_randomized_model_equivalence(spark, tmp_path):
     """Model-based randomized check: a seeded random interleaving of
-    append / upsert / merge_into(update|delete) / evolve_partition_spec /
-    compact_data_files / expire_snapshots must leave the table's latest
-    read equal to a plain
+    append / upsert / merge_into(update|delete) / delete_where /
+    rollback_to / evolve_partition_spec / compact_data_files /
+    expire_snapshots must leave the table's latest read equal to a plain
     Python dict model applying the same operations — across bucket-spec
-    changes and schema evolution. Three seeds, ~8 ops each."""
+    changes, schema evolution, and history rewinds. Three seeds, ~10 ops
+    each."""
     import random
 
     def run_seed(seed, tbl):
         rng = random.Random(seed)
         model = {}  # image_id -> (fmt, w)
+        history = []  # (snapshot_id, model copy) at each commit
 
         def mk_df(rows):
             return spark.createDataFrame(
@@ -851,10 +853,13 @@ def test_iceberg_shim_randomized_model_equivalence(spark, tmp_path):
                                         rng.randrange(1, 100))
                 for i in range(20)}
         model.update(init)
-        shim.write_table(mk_df(init), tbl, n_buckets=rng.choice([2, 4]))
+        snap = shim.write_table(mk_df(init), tbl,
+                                n_buckets=rng.choice([2, 4]))
+        history.append((snap, dict(model)))
 
-        for _step in range(8):
+        for _step in range(10):
             op = rng.choice(["append", "upsert", "merge_upd", "merge_del",
+                             "delete_where", "rollback",
                              "evolve", "compact", "expire"])
             if op == "append":
                 new = {f"img_{seed}_a{_step}_{i}": ("raw", rng.randrange(100))
@@ -887,6 +892,24 @@ def test_iceberg_shim_randomized_model_equivalence(spark, tmp_path):
                                     matched_condition=cond,
                                     when_matched="delete",
                                     when_not_matched="ignore")
+            elif op == "delete_where":
+                # w < t deletes exactly the model rows with w < t (no nulls
+                # in this schema); may be a metadata no-op when stats prove
+                # no file matches
+                t = rng.randrange(-150, 150)
+                for i in [i for i, (_, w) in model.items() if w < t]:
+                    del model[i]
+                shim.delete_where(spark, tbl, [("w", "<", t)])
+            elif op == "rollback":
+                # to a random still-retained snapshot; expired targets are
+                # skipped (KeyError is the documented contract)
+                tgt, saved = rng.choice(history)
+                try:
+                    shim.rollback_to(tbl, tgt)
+                except KeyError:
+                    pass
+                else:
+                    model = dict(saved)
             elif op == "evolve":
                 shim.evolve_partition_spec(tbl,
                                            n_buckets=rng.choice([2, 4, 8]))
@@ -895,6 +918,8 @@ def test_iceberg_shim_randomized_model_equivalence(spark, tmp_path):
                     spark, tbl, n_buckets=shim._table_spec(tbl)[0])
             elif op == "expire":
                 shim.expire_snapshots(tbl, keep_last=rng.choice([1, 2]))
+            latest = shim._snapshot_files(tbl, None)[1][-1]["snapshot_id"]
+            history.append((latest, dict(model)))
             got = {r.image_id: (r.fmt, r.w)
                    for r in shim.read_table(spark, tbl).collect()}
             assert got == model, f"seed={seed} step={_step} op={op}"
