@@ -118,3 +118,85 @@ def test_bigtiff_forced_parses(w, h):
     assert struct.unpack("<H", blob[2:4])[0] == 43
     back = parse_tiff(blob).ifds[0]
     assert back.tile_byte_counts == ifd.tile_byte_counts
+
+
+# ---------------------------------------------------------------------------
+# cell index (functions/cells.py) — the H3/S2-role quadtree grid
+# ---------------------------------------------------------------------------
+
+from cogger_spark.functions import cells  # noqa: E402
+
+_lons = st.floats(min_value=-180.0, max_value=180.0,
+                  allow_nan=False, allow_infinity=False)
+_lats = st.floats(min_value=-90.0, max_value=90.0,
+                  allow_nan=False, allow_infinity=False)
+
+
+@given(lon=_lons, lat=_lats, res=st.integers(min_value=0, max_value=28))
+@settings(max_examples=60, deadline=None)
+def test_cell_encode_decode_identity(lon, lat, res):
+    """Encoded cells decode to in-grid (x, y, res), and re-packing those
+    coordinates is the identity — for the whole lon/lat domain including
+    the +180/+90 clamp edge."""
+    c = cells.cell_encode(np.array([lon]), np.array([lat]), res)
+    x, y, r = cells.xy_from_cell(c)
+    assert int(r[0]) == res
+    assert 0 <= int(x[0]) < (1 << res) or res == 0
+    assert 0 <= int(y[0]) < (1 << res) or res == 0
+    assert cells.cell_from_xy(x, y, res)[0] == c[0]
+
+
+@given(lon=_lons, lat=_lats,
+       r_child=st.integers(min_value=1, max_value=28),
+       up=st.integers(min_value=0, max_value=10))
+@settings(max_examples=60, deadline=None)
+def test_cell_parent_equals_direct_encode(lon, lat, r_child, up):
+    """Hierarchy consistency: the parent of a child cell equals encoding
+    the point directly at the parent resolution (floor-composition of the
+    quantizer — holds at the clamped +180/+90 border too)."""
+    r_parent = max(0, r_child - up)
+    child = cells.cell_encode(np.array([lon]), np.array([lat]), r_child)
+    parent = cells.cell_parent(child, r_parent)
+    direct = cells.cell_encode(np.array([lon]), np.array([lat]), r_parent)
+    assert parent[0] == direct[0]
+
+
+@given(lon=_lons, lat=_lats, res=st.integers(min_value=2, max_value=24),
+       k=st.integers(min_value=1, max_value=3))
+@settings(max_examples=60, deadline=None)
+def test_k_ring_membership_and_chebyshev_bound(lon, lat, res, k):
+    """k_ring contains the center, stays at one resolution, and every
+    neighbor is within Chebyshev distance k (clamping only shrinks the
+    distance)."""
+    c = cells.cell_encode(np.array([lon]), np.array([lat]), res)
+    ring = cells.k_ring(c, k)
+    side = 2 * k + 1
+    assert ring.shape == (1, side * side)
+    vals = ring[0]
+    assert c[0] in set(vals.tolist())
+    xs, ys, rs = cells.xy_from_cell(vals)
+    x0, y0, _ = cells.xy_from_cell(c)
+    assert (rs == res).all()
+    assert (np.abs(xs.astype(np.int64) - int(x0[0])) <= k).all()
+    assert (np.abs(ys.astype(np.int64) - int(y0[0])) <= k).all()
+
+
+@given(lon_a=_lons, lat_a=_lats, lon_b=_lons, lat_b=_lats,
+       lon_p=st.floats(0.0, 1.0, allow_nan=False),
+       lat_p=st.floats(0.0, 1.0, allow_nan=False),
+       res=st.integers(min_value=0, max_value=12))
+@settings(max_examples=60, deadline=None)
+def test_cover_bbox_contains_every_inner_point(lon_a, lat_a, lon_b, lat_b,
+                                               lon_p, lat_p, res):
+    """Soundness of the spatial-join cover: ANY point inside the bbox
+    (parameterized by interpolation so hypothesis can hit edges with
+    lon_p/lat_p of exactly 0.0/1.0) encodes to a cell in cover_bbox — the
+    guarantee the cell equi-joins rely on before exact refinement."""
+    lon_min, lon_max = sorted((lon_a, lon_b))
+    lat_min, lat_max = sorted((lat_a, lat_b))
+    lon = lon_min + lon_p * (lon_max - lon_min)
+    lat = lat_min + lat_p * (lat_max - lat_min)
+    cover = cells.cover_bbox(np.array([lon_min]), np.array([lat_min]),
+                             np.array([lon_max]), np.array([lat_max]), res)
+    c = cells.cell_encode(np.array([lon]), np.array([lat]), res)
+    assert c[0] in set(np.asarray(cover[0]).tolist())
