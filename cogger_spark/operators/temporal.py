@@ -23,14 +23,26 @@ from pyspark.sql import DataFrame, Window
 
 def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
               ts: str = "ts", payload: tuple[str, ...] = ("event_id", "value"),
-              suffix: str = "_prior") -> DataFrame:
-    """For each left row: the right row with the greatest `ts` <= the left
-    row's `ts`, matched on `on` (ASOF LEFT JOIN — unmatched left rows keep
-    null payloads). The right side must be unique per (on, ts) — with
-    duplicates the winner is undefined, exactly like DuckDB ASOF.
+              suffix: str = "_prior", direction: str = "backward",
+              tolerance=None) -> DataFrame:
+    """For each left row: the matching right row per `direction`, matched
+    on `on` (ASOF LEFT JOIN — unmatched left rows keep null payloads):
+
+    * "backward" (default): greatest right `ts` <= the left row's `ts`
+      (DuckDB ASOF / pandas merge_asof default);
+    * "forward": smallest right `ts` >= the left row's `ts`.
+
+    `tolerance` (a pyspark Column interval or SQL interval string, e.g.
+    ``F.expr("INTERVAL 10 MINUTES")`` or ``"INTERVAL 10 MINUTES"``) bounds
+    the match like pandas merge_asof: a right row further than that from
+    the left timestamp yields NO match. The right side must be unique per
+    (on, ts) — with duplicates the winner is undefined, exactly like
+    DuckDB ASOF.
 
     Returns all left columns plus each payload column as <name><suffix>.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     l = left.withColumn("_side", F.lit(1))
     # a NULL-ts right row can never be "at or before" anything (DuckDB ASOF:
     # l.ts >= NULL is never true) — but in the fill-down union nulls sort
@@ -41,15 +53,33 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
     # field of the matched row together with an older row's value
     # (r5 self-review #2). The struct is built on the right side only, so
     # left rows carry a NULL struct (not a struct of nulls) after the
-    # unionByName backfill and are transparent to the fill.
+    # unionByName backfill and are transparent to the fill. The matched
+    # right timestamp rides as _pay._ts for the tolerance cut.
     r = (right.filter(F.col(ts).isNotNull())
-         .select(on, ts, F.struct(*payload).alias("_pay"))
+         .select(on, ts,
+                 F.struct(F.col(ts).alias("_ts"), *payload).alias("_pay"))
          .withColumn("_side", F.lit(0)))
     u = l.unionByName(r, allowMissingColumns=True)
-    w = (Window.partitionBy(on).orderBy(ts, "_side")
-         .rowsBetween(Window.unboundedPreceding, 0))
-    u = u.withColumn("_pay", F.last("_pay", ignorenulls=True).over(w))
+    if direction == "backward":
+        # right rows sort BEFORE left rows at equal ts -> >= matches
+        w = Window.partitionBy(on).orderBy(F.col(ts).asc(), F.col("_side"))
+    else:
+        # descending ts: the fill-down carries the SMALLEST right ts that
+        # is still >= the left ts; null left ts sorts LAST (desc) and sees
+        # only... nothing? no — nulls sort first in asc, LAST in desc, so
+        # a null-ts left row would inherit the final fill. Exclude it
+        # explicitly below via the null guard on the left ts.
+        w = Window.partitionBy(on).orderBy(F.col(ts).desc(), F.col("_side"))
+    u = u.withColumn("_pay", F.last("_pay", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    matched = F.col("_pay").isNotNull() & F.col(ts).isNotNull()
+    if tolerance is not None:
+        tol = F.expr(tolerance) if isinstance(tolerance, str) else tolerance
+        gap = (F.col(ts) - F.col("_pay._ts") if direction == "backward"
+               else F.col("_pay._ts") - F.col(ts))
+        matched = matched & (gap <= tol)
+    pay = F.when(matched, F.col("_pay"))
     return (u.filter(F.col("_side") == 1)
             .select(*left.columns,
-                    *[F.col(f"_pay.{c}").alias(f"{c}{suffix}")
+                    *[pay.getField(c).alias(f"{c}{suffix}")
                       for c in payload]))

@@ -382,6 +382,60 @@ def test_asof_join_null_payload_field_not_blended(spark):
     assert got.value_prior is None  # NOT 5.0 from the older row
 
 
+def test_asof_join_directions_and_tolerance_vs_pandas(spark):
+    """The direction/tolerance surface differentially against pandas
+    merge_asof — the reference implementation of exactly these semantics
+    (backward/forward, inclusive matches, tolerance cut)."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+
+    from cogger_spark.operators.temporal import asof_join
+
+    rng = np.random.RandomState(7)
+    base = dt.datetime(2024, 1, 1)
+    t = lambda s: base + dt.timedelta(seconds=int(s))
+    left_pd = pd.DataFrame({
+        "event_id": np.arange(200, dtype=np.int64),
+        "user_id": rng.randint(0, 8, 200).astype(np.int64),
+        "ts": [t(rng.randint(0, 3000)) for _ in range(200)],
+    })
+    right_pd = pd.DataFrame({
+        "event_id": np.arange(1000, 1120, dtype=np.int64),
+        "user_id": rng.randint(0, 10, 120).astype(np.int64),
+        "ts": [t(rng.randint(0, 3000)) for _ in range(120)],
+        "value": np.round(rng.rand(120) * 100, 3),
+    }).drop_duplicates(["user_id", "ts"])
+
+    left = spark.createDataFrame(
+        left_pd, "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        right_pd, "event_id long, user_id long, ts timestamp, value double")
+
+    for direction in ("backward", "forward"):
+        for tol_s in (None, 120):
+            got = (asof_join(left, right, payload=("event_id", "value"),
+                             direction=direction,
+                             tolerance=(None if tol_s is None else
+                                        f"INTERVAL {tol_s} SECONDS"))
+                   .toPandas().sort_values("event_id")
+                   .reset_index(drop=True))
+            want = pd.merge_asof(
+                left_pd.sort_values("ts"),
+                right_pd.sort_values("ts").rename(
+                    columns={"event_id": "event_id_prior",
+                             "value": "value_prior"}),
+                on="ts", by="user_id", direction=direction,
+                tolerance=(None if tol_s is None else
+                           pd.Timedelta(seconds=tol_s)),
+            ).sort_values("event_id").reset_index(drop=True)
+            for col in ("event_id_prior", "value_prior"):
+                g, w = got[col], want[col]
+                assert (g.isna() == w.isna()).all(), (direction, tol_s, col)
+                assert (g.dropna() == w.dropna()).all(), (direction, tol_s, col)
+
+
 def test_asof_join_randomized_vs_duckdb(spark):
     """Randomized differential sweep: the union-fill-down as-of join equals
     DuckDB's NATIVE ASOF LEFT JOIN on fixed-seed random data — sparse and
