@@ -135,6 +135,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": o.EVENTS_SESSIONIZE,
         # as-of join vs DuckDB's NATIVE ASOF LEFT JOIN
         "events_asof_purchase": o.EVENTS_ASOF_PURCHASE,
+        # forward as-of + tolerance vs the defining LATERAL subquery form
+        "events_asof_next": o.EVENTS_ASOF_NEXT,
         "events_hourly_rollup": o.EVENTS_HOURLY_ROLLUP,
         "events_value_median": o.EVENTS_VALUE_MEDIAN,
         # LSH paths, checked against exact closures: the minhash oracle is

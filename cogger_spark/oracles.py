@@ -601,6 +601,29 @@ SELECT l.event_id, l.user_id,
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
+# forward as-of + tolerance: DuckDB has no native forward ASOF, so the
+# oracle is the DEFINING correlated form — first right row in
+# [l.ts, l.ts + 1h] per key via LATERAL
+EVENTS_ASOF_NEXT = """
+WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
+r AS (
+  SELECT * FROM events WHERE event_type = 'purchase'
+  QUALIFY ROW_NUMBER() OVER
+    (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+)
+SELECT l.event_id, l.user_id,
+  CAST(FLOOR(epoch(l.ts)) AS BIGINT) AS ts_epoch,
+  n.event_id IS NOT NULL AS has_next,
+  COALESCE(n.event_id, -1) AS next_event_id,
+  ROUND(COALESCE(n.value, 0.0), 2) AS next_value
+FROM l LEFT JOIN LATERAL (
+  SELECT r.event_id, r.value FROM r
+  WHERE r.user_id = l.user_id AND r.ts >= l.ts
+    AND r.ts <= l.ts + INTERVAL 1 HOUR
+  ORDER BY r.ts ASC LIMIT 1
+) n ON TRUE
+"""
+
 EVENTS_HOURLY_ROLLUP = """
 WITH e AS (
   SELECT event_type,

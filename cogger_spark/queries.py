@@ -527,6 +527,31 @@ def q_events_asof_purchase(spark, sf_dir):
          .alias("prior_value")))
 
 
+def q_events_asof_next(spark, sf_dir):
+    """FORWARD as-of join with a tolerance window: each click paired with
+    the user's EARLIEST purchase at or after it, but only within 1 hour
+    (pandas merge_asof direction='forward' + tolerance). DuckDB has no
+    native forward ASOF, so the oracle is the defining correlated form — a
+    LATERAL 'first right row in [l.ts, l.ts + 1h]' subquery."""
+    from .operators.temporal import asof_join
+    e = _tbl(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click")
+    wdup = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    purchases = (e.filter(F.col("event_type") == "purchase")
+                 .withColumn("_rn", F.row_number().over(wdup))
+                 .filter(F.col("_rn") == 1).drop("_rn"))
+    j = asof_join(clicks, purchases, on="user_id", ts="ts",
+                  payload=("event_id", "value"), suffix="_next",
+                  direction="forward", tolerance="INTERVAL 1 HOUR")
+    ep_l = _ntz_epoch_long(F.col("ts"))
+    return (j.select(
+        "event_id", "user_id", ep_l.alias("ts_epoch"),
+        F.col("event_id_next").isNotNull().alias("has_next"),
+        F.coalesce("event_id_next", F.lit(-1)).alias("next_event_id"),
+        F.round(F.coalesce("value_next", F.lit(0.0)), 2)
+         .alias("next_value")))
+
+
 def q_events_hourly_rollup(spark, sf_dir):
     """Hierarchical time rollup (the hypertable continuous-aggregate shape):
     ROLLUP(event_type, hour-bucket) emits hour rows, per-type subtotals, and
@@ -556,6 +581,7 @@ def q_events_value_median(spark, sf_dir):
 RELATIONAL_QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_asof_purchase": q_events_asof_purchase,
+    "events_asof_next": q_events_asof_next,
     "events_hourly_rollup": q_events_hourly_rollup,
     "events_value_median": q_events_value_median,
     "pricing_summary": q_pricing_summary,

@@ -68,6 +68,7 @@ ORACLE_CASES = [
     ("events_by_type", "EVENTS_BY_TYPE"),
     ("events_sessionize", "EVENTS_SESSIONIZE"),
     ("events_asof_purchase", "EVENTS_ASOF_PURCHASE"),
+    ("events_asof_next", "EVENTS_ASOF_NEXT"),
     ("events_hourly_rollup", "EVENTS_HOURLY_ROLLUP"),
     ("events_value_median", "EVENTS_VALUE_MEDIAN"),
 ]
