@@ -75,6 +75,10 @@ def main() -> None:
          "as-of join: union-fill-down — per-key sort (ts, side), ONE "
          "struct filled with last(ignorenulls); one shuffle on the key "
          "(r5)"),
+        ("events_asof_next",
+         "FORWARD as-of + 1h tolerance: same union-fill-down under a "
+         "descending per-key sort; matched right ts rides in the struct "
+         "for the tolerance cut (r5)"),
     ]
 
     out = ["# PLANS — captured physical plans (explain format)\n",
