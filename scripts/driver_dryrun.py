@@ -18,7 +18,9 @@ import duckdb
 import numpy as np
 from pyspark.sql import SparkSession
 
-SF_DIR = "/root/testdata/sf0.01"
+# override with SPARK_GRAFT_DRYRUN_SF for the oracle-probe generalization
+# sweep (e.g. sf0.001 — a second corpus catches memorized-answer oracles)
+SF_DIR = os.environ.get("SPARK_GRAFT_DRYRUN_SF", "/root/testdata/sf0.01")
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
