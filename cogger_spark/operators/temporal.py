@@ -43,6 +43,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
+    if "_ts" in payload:
+        raise ValueError(
+            "payload column '_ts' collides with the matched-timestamp "
+            "field the join carries for the tolerance cut — rename it")
     l = left.withColumn("_side", F.lit(1))
     # a NULL-ts right row can never be "at or before" anything (DuckDB ASOF:
     # l.ts >= NULL is never true) — but in the fill-down union nulls sort

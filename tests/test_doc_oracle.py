@@ -437,6 +437,13 @@ def test_asof_join_directions_and_tolerance_vs_pandas(spark):
                 assert (g.dropna() == w.dropna()).all(), (direction, tol_s, col)
 
 
+def test_asof_join_rejects_reserved_payload_name(spark):
+    from cogger_spark.operators.temporal import asof_join
+    df = spark.createDataFrame([(1,)], "user_id long")
+    with pytest.raises(ValueError, match="_ts"):
+        asof_join(df, df, payload=("_ts",))
+
+
 def test_asof_join_randomized_vs_duckdb(spark):
     """Randomized differential sweep: the union-fill-down as-of join equals
     DuckDB's NATIVE ASOF LEFT JOIN on fixed-seed random data — sparse and
