@@ -208,6 +208,49 @@ def stream_upsert_table(spark: SparkSession, in_dir: str, table_path: str,
      .awaitTermination())
 
 
+def stream_asof_enrich(spark: SparkSession, left_in_dir: str,
+                       right_table: str, out_dir: str, checkpoint_dir: str,
+                       on: str = "user_id", ts: str = "ts",
+                       payload: tuple[str, ...] = ("event_id", "value"),
+                       direction: str = "backward", tolerance=None,
+                       max_files_per_trigger: int = 2) -> None:
+    """Streaming as-of ENRICHMENT: each left micro-batch is as-of joined
+    (operators/temporal.asof_join — backward/forward + tolerance) against
+    the CURRENT snapshot of the shim table at `right_table`, and the
+    enriched rows append to `out_dir`.
+
+    This is the two-stage streaming as-of real pipelines use: the right
+    stream materializes into a continuously-upserted lakehouse table first
+    (stream_upsert_table — its own exactly-once checkpointed ingestion),
+    and the left stream enriches against table snapshots. The result equals
+    the batch asof_join whenever each left row is processed after every
+    right row it could match has been ingested (e.g. Trigger.AvailableNow
+    sequencing: drain the right stream, then run the left) — asserted
+    stream≡batch in tests. A true simultaneous stream-stream as-of would
+    need watermarked right-side buffering Spark does not ship natively."""
+    from ..operators.temporal import asof_join
+    from ..sources import iceberg_shim as shim
+
+    def handle(batch_df, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        right = shim.read_table(spark, right_table)
+        (asof_join(batch_df, right, on=on, ts=ts, payload=payload,
+                   direction=direction, tolerance=tolerance)
+         .write.mode("append").parquet(out_dir))
+
+    stream = (spark.readStream
+              .schema(spark.read.parquet(left_in_dir).schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(left_in_dir))
+    (stream.writeStream
+     .foreachBatch(handle)
+     .option("checkpointLocation", checkpoint_dir)
+     .trigger(availableNow=True)
+     .start()
+     .awaitTermination())
+
+
 def stream_event_counts(spark: SparkSession, in_dir: str, out_dir: str,
                         checkpoint_dir: str, window: str = "1 hour",
                         watermark: str = "2 hours") -> None:

@@ -1121,6 +1121,56 @@ def test_iceberg_shim_null_key_source_row_accepted(spark, smoke_images,
     assert got.count() == 10
 
 
+def test_streaming_asof_enrich_matches_batch(spark, tmp_path):
+    """Two-stage streaming as-of: the right side lives in a shim table, the
+    left stream enriches per micro-batch against the table snapshot —
+    equals the batch asof_join when the right side is ingested first
+    (AvailableNow sequencing). Covers the forward direction + tolerance
+    surface end-to-end through the streaming path."""
+    import datetime as dt
+
+    from cogger_spark.operators.temporal import asof_join
+    from cogger_spark.streaming.ingest import stream_asof_enrich
+
+    t = lambda m: dt.datetime(2024, 1, 1, 9, m)
+    right = spark.createDataFrame(
+        [(f"e_{i}", 1000 + i, i % 3, t(5 * i), float(i))
+         for i in range(12)],
+        "image_id string, event_id long, user_id long, ts timestamp, "
+        "value double")
+    tbl = str(tmp_path / "right_tbl")
+    shim.write_table(right, tbl, n_buckets=4, partition_cols=())
+
+    left = spark.createDataFrame(
+        [(i, i % 4, t(7 * i % 60)) for i in range(30)],
+        "event_id long, user_id long, ts timestamp")
+    import os
+    in_dir = tmp_path / "left_in"
+    in_dir.mkdir()
+    stage = tmp_path / "stage"
+    for i, part in enumerate((left.filter(F.col("event_id") < 15),
+                              left.filter(F.col("event_id") >= 15))):
+        part.coalesce(1).write.parquet(str(stage / f"f{i}"))
+        src = next((stage / f"f{i}").rglob("*.parquet"))
+        os.replace(src, in_dir / f"left_{i}.parquet")
+
+    out = str(tmp_path / "enriched")
+    stream_asof_enrich(spark, str(in_dir), tbl, out,
+                       str(tmp_path / "ck"), direction="forward",
+                       tolerance="INTERVAL 20 MINUTES",
+                       max_files_per_trigger=1)
+
+    got = {r.event_id: (r.event_id_prior, r.value_prior)
+           for r in spark.read.parquet(out).collect()}
+    want = {r.event_id: (r.event_id_prior, r.value_prior)
+            for r in asof_join(left, shim.read_table(spark, tbl),
+                               direction="forward",
+                               tolerance="INTERVAL 20 MINUTES").collect()}
+    assert got == want and len(got) == 30
+    assert any(v[0] is not None for v in got.values())
+    assert any(v[0] is None for v in got.values())
+
+
 def test_streaming_upsert_bootstraps_missing_table(spark, smoke_images,
                                                    tmp_path):
     """The first micro-batch CREATES the table when the path is fresh."""
