@@ -90,6 +90,8 @@ def oracle_sql() -> dict[str, str]:
         # stats (sum/count/min/max/mean over the zone's overlapping tiles)
         "zonal_pixel_stats": o.ZONAL_PIXEL_STATS,
         "phash_canonical": o.PHASH_CANONICAL,
+        # the documents token kernel over image captions (multimodal text)
+        "caption_token_stats": o.CAPTION_TOKEN_STATS,
         "dedup_images": o.DEDUP_IMAGES,
         # documents / embeddings (driver-registered views)
         "doc_token_stats": o.DOC_TOKEN_STATS,

@@ -109,6 +109,68 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
                  .mapInPandas(kernel, schema=schema)
 
 
+def augment_images(images: DataFrame, out_w: int, out_h: int,
+                   flip_prob: float = 0.5, seed: int = 0) -> DataFrame:
+    """Deterministic training-time augmentation: per-image random crop to
+    (out_w, out_h) + horizontal flip with probability `flip_prob`. The
+    randomness is a per-image counter-based draw seeded from
+    crc32(image_id) ^ seed — NO global RNG state, so the output is
+    bit-identical across runs, partitionings, and retries (the property a
+    resumable 100-TB augmentation job needs; re-running a failed partition
+    must not re-roll its augmentations). The applied transform is emitted
+    as metadata (crop_x, crop_y, flipped) so any sample's provenance is
+    queryable. Images smaller than the crop are rejected loudly —
+    silent padding would corrupt training statistics."""
+    import zlib as _zlib
+
+    schema = ("image_id string, bytes binary, w int, h int, fmt string, "
+              "crop_x int, crop_y int, flipped boolean")
+
+    def _draws(image_id: str):
+        """Three uniform draws in [0,1) from a tiny counter-based hash."""
+        base = _zlib.crc32(image_id.encode()) ^ (seed & 0xFFFFFFFF)
+        out = []
+        for i in range(3):
+            # xorshift-style mix of (base, i) — cheap, stateless, stable
+            x = (base + 0x9E3779B9 * (i + 1)) & 0xFFFFFFFF
+            x ^= x >> 16
+            x = (x * 0x45D9F3B) & 0xFFFFFFFF
+            x ^= x >> 16
+            out.append(x / 2 ** 32)
+        return out
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt",
+                                   "crop_x", "crop_y", "flipped")}
+            for r in pdf.itertuples(index=False):
+                w, h = int(r.w), int(r.h)
+                if w < out_w or h < out_h:
+                    raise ValueError(
+                        f"{r.image_id}: {w}x{h} smaller than crop "
+                        f"{out_w}x{out_h}")
+                px = _decode(r.bytes, w, h, r.fmt)
+                u_x, u_y, u_f = _draws(r.image_id)
+                cx = int(u_x * (w - out_w + 1))
+                cy = int(u_y * (h - out_h + 1))
+                flip = u_f < flip_prob
+                crop = px[cy:cy + out_h, cx:cx + out_w]
+                if flip:
+                    crop = crop[:, ::-1]
+                out["image_id"].append(r.image_id)
+                out["bytes"].append(np.ascontiguousarray(crop).tobytes())
+                out["w"].append(out_w)
+                out["h"].append(out_h)
+                out["fmt"].append("raw")
+                out["crop_x"].append(cx)
+                out["crop_y"].append(cy)
+                out["flipped"].append(bool(flip))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+                 .mapInPandas(kernel, schema=schema)
+
+
 def sample_frames(videos: DataFrame, every_k: int = 2) -> DataFrame:
     """Video frame sampling over the deterministic fake layout: explode every
     k-th frame into an image row (real partitioning/batching; the container

@@ -272,6 +272,18 @@ WHERE t.level = 0
 GROUP BY z.zone_id
 """
 
+# the documents token_stats kernel over the image table's captions — the
+# text side of the image+caption pair
+CAPTION_TOKEN_STATS = f"""
+SELECT image_id,
+  CAST(len(string_split(caption, ' ')) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(string_split(caption, ' '))) AS BIGINT)
+    AS n_distinct_tokens,
+  ROUND(list_sum(list_transform(string_split(caption, ' '), x -> length(x)))
+        / (len(string_split(caption, ' ')) * 1.0), 6) AS avg_token_len
+FROM {IMAGES}
+"""
+
 PHASH_CANONICAL = f"""
 SELECT phash, MIN(image_id) AS canonical_image_id, CAST(COUNT(*) AS BIGINT) AS dup_count
 FROM {IMAGES}

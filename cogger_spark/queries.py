@@ -101,6 +101,17 @@ def q_zonal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _longs(out, "value_min", "value_max")
 
 
+def q_caption_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text operators applied to the image table's caption column — the
+    text side of the image+caption pair (BASELINE.json input_hint): the
+    SAME token_stats kernel that serves documents runs over captions, so
+    the multimodal table plugs into the whole text-pipeline surface."""
+    from .operators.text import token_stats
+    caps = _images(spark).select(F.col("image_id").alias("doc_id"),
+                                 F.col("caption").alias("text"))
+    return token_stats(caps).withColumnRenamed("doc_id", "image_id")
+
+
 def q_phash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial.phash_canonical(_images(spark))
 
@@ -183,6 +194,7 @@ SPATIAL_QUERIES = {
     "zonal_stats": q_zonal_stats,
     "zonal_pixel_stats": q_zonal_pixel_stats,
     "phash_canonical": q_phash_canonical,
+    "caption_token_stats": q_caption_token_stats,
     "dedup_images": q_dedup_images,
 }
 

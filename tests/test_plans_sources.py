@@ -201,6 +201,47 @@ def test_multimodal_image_features_and_resize(spark, smoke_images):
         assert len(r.bytes) % (32 * 16) == 0
 
 
+def test_augment_images_deterministic_and_numpy_exact(spark, smoke_images):
+    """Training-time augmentation: the crop/flip equals a direct NumPy
+    replay of the emitted (crop_x, crop_y, flipped) metadata; two runs are
+    bit-identical (counter-based per-image draws, no RNG state — the
+    resumability property); undersized images are rejected loudly."""
+    from cogger_spark import fixtures
+    from cogger_spark.operators.multimodal import augment_images
+
+    images = (spark.read.parquet(smoke_images)
+              .filter("w >= 64 and h >= 64").limit(6))
+    a = {r.image_id: r for r in augment_images(images, 64, 48).collect()}
+    b = {r.image_id: r for r in augment_images(images, 64, 48).collect()}
+    assert len(a) == 6
+    flips = set()
+    for iid, r in a.items():
+        r2 = b[iid]
+        assert (bytes(r.bytes) == bytes(r2.bytes)
+                and (r.crop_x, r.crop_y, r.flipped)
+                == (r2.crop_x, r2.crop_y, r2.flipped))
+        i = fixtures.img_index(iid) if hasattr(fixtures, "img_index") else \
+            int(iid.split("_")[1])
+        w, h = fixtures.image_dims(i, fixtures.SMOKE_DIMS)
+        bands = fixtures.n_bands(i)
+        px = fixtures.make_pixels(i, w, h, bands, fixtures.has_mask(i))
+        want = px[r.crop_y:r.crop_y + 48, r.crop_x:r.crop_x + 64]
+        if r.flipped:
+            want = want[:, ::-1]
+        got = np.frombuffer(bytes(r.bytes), dtype=np.uint8).reshape(
+            48, 64, px.shape[2])
+        assert np.array_equal(got, want), iid
+        assert 0 <= r.crop_x <= w - 64 and 0 <= r.crop_y <= h - 48
+        flips.add(r.flipped)
+    assert flips == {True, False}  # both outcomes occur across the batch
+
+    tiny = spark.createDataFrame(
+        [("t0", np.zeros((8, 8, 1), np.uint8).tobytes(), 8, 8, "raw")],
+        "image_id string, bytes binary, w int, h int, fmt string")
+    with pytest.raises(Exception, match="smaller than crop"):
+        augment_images(tiny, 64, 48).collect()
+
+
 def test_multimodal_stub_raises(spark):
     from cogger_spark.operators.multimodal import image_features
     # png/jpeg are REAL now (functions/png.py, functions/jpeg.py); the

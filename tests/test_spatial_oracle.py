@@ -43,6 +43,7 @@ CASES = [
     ("zonal_stats", oracles.ZONAL_STATS),
     ("zonal_pixel_stats", oracles.ZONAL_PIXEL_STATS),
     ("phash_canonical", oracles.PHASH_CANONICAL),
+    ("caption_token_stats", oracles.CAPTION_TOKEN_STATS),
     ("point_grid_counts", oracles.POINT_GRID_COUNTS),
     ("dedup_images", oracles.DEDUP_IMAGES),
 ]
