@@ -75,9 +75,11 @@ def trigram_set(textcol):
 def _shingled(docs: DataFrame, *keep: str) -> DataFrame:
     """(doc_id, keep..., s) with the trigram set computed ONCE per document —
     never per candidate pair (the shingling lambda chain is interpreted, so
-    per-pair evaluation would dominate the join)."""
-    sc = docs.sparkSession.sparkContext
-    return (docs.repartition(sc.defaultParallelism)
+    per-pair evaluation would dominate the join). Fan-out is conditional
+    (ensure_fanout): an already-well-partitioned 100-TB text table skips the
+    full payload shuffle the old unconditional repartition paid (r5 ADVICE)."""
+    from .tiling import ensure_fanout
+    return (ensure_fanout(docs)
             .filter(F.size(F.split(F.col("text"), " ")) >= 3)
             .select("doc_id", *keep, trigram_set(F.col("text")).alias("s")))
 
@@ -143,9 +145,9 @@ def lsh_buckets(docs: DataFrame) -> DataFrame:
     """doc → (band, bucket) rows; same-bucket docs are candidate duplicates.
     Only the doc_id rides through the band explode — texts rejoin once at
     verification time, so the 16x row multiplication never shuffles payloads."""
+    from .tiling import ensure_fanout
     sig = minhash_udf()
-    sc = docs.sparkSession.sparkContext
-    d = docs.repartition(sc.defaultParallelism).withColumn("sig", sig("text"))
+    d = ensure_fanout(docs).withColumn("sig", sig("text"))
     bands = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -164,7 +166,12 @@ def minhash_lsh_dedup(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     unlike the baseline its cost is O(n·bands + candidates), not O(block²),
     so it is the scale path for 10^12 rows."""
     docs = docs.filter(F.size(F.split(F.col("text"), " ")) >= 3)
-    bb = lsh_buckets(docs)
+    # materialize the (doc_id, band, bucket) relation ONCE: the self-join's
+    # two subtree copies would otherwise each re-run the minhash signature
+    # UDF over the whole corpus (no exchange to reuse on the probe side —
+    # r6 plan audit measured the query at 2.7s vs 1.9s with the checkpoint).
+    # 3 thin columns per doc — the standard persisted-signature-table shape.
+    bb = lsh_buckets(docs).localCheckpoint()
     a = bb.select("band", "bucket", F.col("doc_id").alias("doc_a"))
     b = bb.select("band", "bucket", F.col("doc_id").alias("doc_b"))
     cand = (a.join(b, ["band", "bucket"])
@@ -231,8 +238,16 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         raise ValueError(
             f"max_hamming={max_hamming}: 4x16-bit pigeonhole blocking is "
             f"only lossless for max_hamming <= 3")
+    # materialize (doc_id, simhash) ONCE: the chunk self-join's two subtree
+    # copies each re-ran the signature UDF, and the optimizer additionally
+    # duplicated the Python eval under the explode projection — 4 corpus-wide
+    # UDF passes for one signature column (r6 plan audit: 2 ArrowEvalPython
+    # nodes per join side; 2.6s -> 0.87s with the checkpoint). 16 bytes/doc —
+    # the standard persisted-signature-table shape at any scale.
     d = (docs.filter(F.col("text").isNotNull())
-         .withColumn("simhash", simhash_udf()("text")))
+         .withColumn("simhash", simhash_udf()("text"))
+         .select("doc_id", "simhash")
+         .localCheckpoint())
     chunks = F.array(*[
         F.struct(F.lit(c).alias("chunk"),
                  F.shiftrightunsigned(F.col("simhash"), 16 * c)

@@ -36,6 +36,23 @@ def cosine_expr(a, b):
     return _dot(ad, bd) / (F.sqrt(_dot(ad, ad)) * F.sqrt(_dot(bd, bd)))
 
 
+def norm_expr(a):
+    """sqrt(dot(a,a)) over the double-cast array — the per-VECTOR half of
+    cosine_expr, precomputed once per row instead of once per candidate
+    pair (r6: the interpreted aggregate/zip_with chain was 2/3 of the
+    pairwise scoring cost). cosine_pre(dot, na, nb) = dot/(na*nb) performs
+    the SAME double operations in the SAME order as cosine_expr, so scores
+    are bit-identical."""
+    ad = a.cast("array<double>")
+    return F.sqrt(_dot(ad, ad))
+
+
+def cosine_pre(a, b, na, nb):
+    """cosine from precomputed per-side norms; bit-identical to
+    cosine_expr(a, b) (same IEEE ops, same order)."""
+    return _dot(a.cast("array<double>"), b.cast("array<double>")) / (na * nb)
+
+
 def brute_force_topk(embeddings: DataFrame, k: int = 10,
                      query_mod: int = 50) -> DataFrame:
     """Exact cosine top-k per query (queries = vec_id % query_mod == 0),
@@ -43,10 +60,14 @@ def brute_force_topk(embeddings: DataFrame, k: int = 10,
     broadcast — the big side is scanned once, no shuffle of the corpus."""
     q = (embeddings.filter(F.col("vec_id") % query_mod == 0)
          .select(F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("q_emb")))
-    cand = (embeddings.alias("c").crossJoin(F.broadcast(q))
+                 F.col("embedding").alias("q_emb"),
+                 norm_expr(F.col("embedding")).alias("_qn")))
+    c = embeddings.select("vec_id", "embedding",
+                          norm_expr(F.col("embedding")).alias("_cn"))
+    cand = (c.crossJoin(F.broadcast(q))
             .filter(F.col("vec_id") != F.col("query_id")))
-    cos = F.round(cosine_expr(F.col("q_emb"), F.col("embedding")), 9)
+    cos = F.round(cosine_pre(F.col("q_emb"), F.col("embedding"),
+                             F.col("_qn"), F.col("_cn")), 9)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (cand.withColumn("cosine", cos)
             .withColumn("rank", F.row_number().over(w))
@@ -59,10 +80,13 @@ def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataF
     """Exact near-duplicate pairs (cosine >= threshold) within label blocks —
     the embedding analogue of blocked Jaccard dedup."""
     a = embeddings.select("label", F.col("vec_id").alias("vec_a"),
-                          F.col("embedding").alias("emb_a"))
+                          F.col("embedding").alias("emb_a"),
+                          norm_expr(F.col("embedding")).alias("_na"))
     b = embeddings.select("label", F.col("vec_id").alias("vec_b"),
-                          F.col("embedding").alias("emb_b"))
-    cos = F.round(cosine_expr(F.col("emb_a"), F.col("emb_b")), 9)
+                          F.col("embedding").alias("emb_b"),
+                          norm_expr(F.col("embedding")).alias("_nb"))
+    cos = F.round(cosine_pre(F.col("emb_a"), F.col("emb_b"),
+                             F.col("_na"), F.col("_nb")), 9)
     return (a.join(b, "label")
             .filter(F.col("vec_a") < F.col("vec_b"))
             .withColumn("cosine", cos)
@@ -138,15 +162,18 @@ def ivf_topk(embeddings: DataFrame, k: int = 10, query_mod: int = 50,
     corpus = (embeddings
               .withColumn("lists", ivf_assign_udf(cent, 1)("embedding"))
               .withColumn("list_id", F.col("lists")[0])
+              .withColumn("_cn", norm_expr(F.col("embedding")))
               .drop("lists"))
     q = (embeddings.filter(F.col("vec_id") % query_mod == 0)
          .withColumn("lists", ivf_assign_udf(cent, nprobe)("embedding"))
          .withColumn("list_id", F.explode("lists"))
          .select("list_id", F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("q_emb")))
+                 F.col("embedding").alias("q_emb"),
+                 norm_expr(F.col("embedding")).alias("_qn")))
     cand = (corpus.join(q, "list_id")
             .filter(F.col("vec_id") != F.col("query_id")))
-    cos = F.round(cosine_expr(F.col("q_emb"), F.col("embedding")), 9)
+    cos = F.round(cosine_pre(F.col("q_emb"), F.col("embedding"),
+                             F.col("_qn"), F.col("_cn")), 9)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (cand.withColumn("cosine", cos)
             .withColumn("rank", F.row_number().over(w))
@@ -204,21 +231,26 @@ def ann_lsh_topk(embeddings: DataFrame, k: int = 10, query_mod: int = 50,
         for t in range(n_tables)])
     eb = (e.withColumn("tb", F.explode(tables))
           .select("vec_id", "embedding",
+                  norm_expr(F.col("embedding")).alias("_n"),
                   F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket")))
     q = (eb.filter(F.col("vec_id") % query_mod == 0)
          .select("table", "bucket", F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("q_emb")))
+                 F.col("embedding").alias("q_emb"),
+                 F.col("_n").alias("_qn")))
     if probe > 1:
         masks = sorted(range(2 ** N_PLANES),
                        key=lambda m: (bin(m).count("1"), m))[:probe]
         q = (q.withColumn("mask", F.explode(F.array(*[F.lit(m) for m in masks])))
              .withColumn("bucket", F.col("bucket").bitwiseXOR(F.col("mask")))
              .drop("mask"))
+    # _n/_qn are pure functions of the embeddings, so adding them to the
+    # dedup key leaves the distinct row set unchanged
     cand = (eb.join(q, ["table", "bucket"])
             .filter(F.col("vec_id") != F.col("query_id"))
-            .select("query_id", "q_emb", "vec_id", "embedding")
+            .select("query_id", "q_emb", "_qn", "vec_id", "embedding", "_n")
             .distinct())
-    cos = F.round(cosine_expr(F.col("q_emb"), F.col("embedding")), 9)
+    cos = F.round(cosine_pre(F.col("q_emb"), F.col("embedding"),
+                             F.col("_qn"), F.col("_n")), 9)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (cand.withColumn("cosine", cos)
             .withColumn("rank", F.row_number().over(w))
@@ -326,11 +358,15 @@ def ann_pq_topk(embeddings: DataFrame, k: int = 10, query_mod: int = 50,
                  .select("query_id", "vec_id"))
     qe = (embeddings.filter(F.col("vec_id") % query_mod == 0)
           .select(F.col("vec_id").alias("query_id"),
-                  F.col("embedding").alias("q_emb")))
+                  F.col("embedding").alias("q_emb"),
+                  norm_expr(F.col("embedding")).alias("_qn")))
     exact = (shortlist
-             .join(embeddings.select("vec_id", "embedding"), "vec_id")
+             .join(embeddings.select(
+                 "vec_id", "embedding",
+                 norm_expr(F.col("embedding")).alias("_cn")), "vec_id")
              .join(F.broadcast(qe), "query_id"))
-    cos = F.round(cosine_expr(F.col("q_emb"), F.col("embedding")), 9)
+    cos = F.round(cosine_pre(F.col("q_emb"), F.col("embedding"),
+                             F.col("_qn"), F.col("_cn")), 9)
     w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                 F.col("vec_id"))
     return (exact.withColumn("cosine", cos)
@@ -385,11 +421,15 @@ def ivf_pq_topk(embeddings: DataFrame, k: int = 10, query_mod: int = 50,
                  .select("query_id", "vec_id"))
     qe = (embeddings.filter(F.col("vec_id") % query_mod == 0)
           .select(F.col("vec_id").alias("query_id"),
-                  F.col("embedding").alias("q_emb")))
+                  F.col("embedding").alias("q_emb"),
+                  norm_expr(F.col("embedding")).alias("_qn")))
     exact = (shortlist
-             .join(embeddings.select("vec_id", "embedding"), "vec_id")
+             .join(embeddings.select(
+                 "vec_id", "embedding",
+                 norm_expr(F.col("embedding")).alias("_cn")), "vec_id")
              .join(F.broadcast(qe), "query_id"))
-    cos = F.round(cosine_expr(F.col("q_emb"), F.col("embedding")), 9)
+    cos = F.round(cosine_pre(F.col("q_emb"), F.col("embedding"),
+                             F.col("_qn"), F.col("_cn")), 9)
     w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                 F.col("vec_id"))
     return (exact.withColumn("cosine", cos)
