@@ -96,7 +96,9 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Exact blocked pairwise trigram Jaccard >= threshold within
     (lang, source) blocks (the oracle-checkable exact baseline for MinHash).
     Documents with fewer than 3 tokens have no shingles and are excluded."""
-    d = _shingled(docs, "lang", "source")
+    # one shingle pass, not two: the self-join's sides would each re-run
+    # the (interpreted, NOTES #5) trigram chain over the whole corpus
+    d = _shingled(docs, "lang", "source").localCheckpoint(eager=False)
     a = d.select(F.col("doc_id").alias("doc_a"), "lang", "source",
                  F.col("s").alias("sa"))
     b = d.select(F.col("doc_id").alias("doc_b"),
@@ -171,7 +173,7 @@ def minhash_lsh_dedup(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     # UDF over the whole corpus (no exchange to reuse on the probe side —
     # r6 plan audit measured the query at 2.7s vs 1.9s with the checkpoint).
     # 3 thin columns per doc — the standard persisted-signature-table shape.
-    bb = lsh_buckets(docs).localCheckpoint()
+    bb = lsh_buckets(docs).localCheckpoint(eager=False)
     a = bb.select("band", "bucket", F.col("doc_id").alias("doc_a"))
     b = bb.select("band", "bucket", F.col("doc_id").alias("doc_b"))
     cand = (a.join(b, ["band", "bucket"])
@@ -247,7 +249,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     d = (docs.filter(F.col("text").isNotNull())
          .withColumn("simhash", simhash_udf()("text"))
          .select("doc_id", "simhash")
-         .localCheckpoint())
+         .localCheckpoint(eager=False))
     chunks = F.array(*[
         F.struct(F.lit(c).alias("chunk"),
                  F.shiftrightunsigned(F.col("simhash"), 16 * c)

@@ -225,6 +225,10 @@ def knn_join(points: DataFrame, tiles: DataFrame, k: int = 5,
         "ring_cell", F.explode(ring_cells_udf(res, ring)("lon", "lat")))
     tc = with_tile_cells(tiles, res).withColumnRenamed("cell_id", "ring_cell")
     cand = (pc.join(tc, "ring_cell")
+            # one point_id-keyed exchange serves the dedup AND the top-k
+            # window below (HashPartitioning(point_id) satisfies both
+            # clusterings — guide 2.4)
+            .repartition("point_id")
             .select("point_id", "lon", "lat", "image_id", "level", "ty", "tx",
                     "lon_min", "lat_min", "lon_max", "lat_max")
             .distinct())  # a tile may meet a point through several cells
@@ -287,7 +291,13 @@ def knn_join_adaptive(points: DataFrame, tiles: DataFrame, k: int = 5,
     r0, last0 = rings[0], len(rings) == 1
     pc = points.withColumn(
         "ring_cell", F.explode(ring_cells_udf(res, r0)("lon", "lat")))
+    # ONE exchange keyed on point_id serves the whole downstream chain:
+    # HashPartitioning(point_id) satisfies the ClusteredDistribution of the
+    # distinct (grouping is a superset of point_id), the per-point counts,
+    # the top-k window, and the resolved join — without it each of those
+    # planned its own exchange (guide 2.4; A/B at bench scale: 2.3 -> 1.8s).
     cand_a = (pc.join(tc, "ring_cell")
+              .repartition("point_id")
               .select("point_id", "lon", "lat", "image_id", "level", "ty",
                       "tx", "lon_min", "lat_min", "lon_max", "lat_max")
               .distinct()
@@ -295,7 +305,9 @@ def knn_join_adaptive(points: DataFrame, tiles: DataFrame, k: int = 5,
               # feeds three consumers (counts, phase-A top-k, phase-B
               # anti-join); without it the explode+join lineage runs 3x
               # (A/B: 2.5s -> 1.75s). Narrow metadata rows, no payloads.
-              .localCheckpoint())
+              # Lazy: the consumers share the cached blocks within the one
+              # query job, so no separate materialization job is paid.
+              .localCheckpoint(eager=False))
     counts_a = cand_a.groupBy("point_id").agg(F.count(F.lit(1)).alias("_n"))
     resolved_a = (counts_a if last0 else counts_a.filter(F.col("_n") >= k)) \
         .select("point_id")
@@ -313,9 +325,13 @@ def knn_join_adaptive(points: DataFrame, tiles: DataFrame, k: int = 5,
                   F.col("z.cells").alias("ring_cell"),
                   F.col("z.ds").alias("d")))
     cand_b = (pb.join(tc, "ring_cell")
+              .repartition("point_id")  # same shared-exchange trick as cand_a
               .groupBy("point_id", "lon", "lat", "image_id", "level", "ty",
                        "tx", "lon_min", "lat_min", "lon_max", "lat_max")
-              .agg(F.min("d").alias("mind")))
+              .agg(F.min("d").alias("mind"))
+              # two consumers (rung counts, final join) — share the cached
+              # blocks instead of re-running the wide explode twice
+              .localCheckpoint(eager=False))
     cnt = cand_b.groupBy("point_id").agg(
         *[F.sum((F.col("mind") <= r).cast("int")).alias(f"_n{r}")
           for r in rings[1:]])

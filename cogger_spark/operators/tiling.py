@@ -753,7 +753,13 @@ def rewrite_tiffs(tiffs: DataFrame, ghost: bool = True,
     header || data equals the split=False blob byte-for-byte (tested)."""
     from ..tiff.codec import Config, rewrite, rewrite_split
 
-    FLUSH_BYTES = 64 * 1024 * 1024  # output blobs flushed by size
+    # Output blobs flushed by size. Small batches pipeline better: the JVM
+    # consumes a yielded Arrow batch while the worker rewrites the next
+    # image, overlapping the (memcpy-bound) return transfer with kernel
+    # compute — r6 A/B on the 2.3 GB bench corpus: 64m 3.21s, 16m 2.58s,
+    # 4m 2.36s; below 4m the per-batch overhead starts to show on
+    # many-small-image tables.
+    FLUSH_BYTES = 4 * 1024 * 1024
 
     def _new_out():
         out = {"image_id": [], "in_bytes": [], "out_bytes": []}

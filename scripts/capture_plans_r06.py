@@ -56,10 +56,16 @@ def main():
         f.write(formatted(next_level_strips(l0, 1, tile=512)))
     print("ok giga_next_level")
 
+    # capture under the bench's split sizing (1m) so the plan shows the
+    # partitioning arm the bench actually executes
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
     tiffs = read_tiff_dir(spark, "/tmp/cogger_bench_480/tiffs_raw")
     rw = rewrite_tiffs(tiffs).agg(F.sum("in_bytes"))
     with open(os.path.join(OUT, f"cog_rewrite_{SUFFIX}.txt"), "w") as f:
         f.write(formatted(rw))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+    spark.conf.set("spark.sql.files.openCostInBytes", "4194304")
     print("ok cog_rewrite")
     spark.stop()
 
