@@ -499,14 +499,63 @@ def _px_expr():
     return F.col("w").cast("long") * F.col("h")
 
 
+def _probe_from_footers(images: DataFrame, split_threshold_px: int):
+    """Answer route_probe from parquet FOOTER statistics without running a
+    Spark job, when (and only when) `images` is a bare parquet relation
+    (no filters/projections that could invalidate the file-level stats).
+
+    Bounds are conservative: min(w)*min(h) <= true min(px) and
+    max(w)*max(h) >= true max(px), so a spurious has_small/has_big can only
+    add an EMPTY branch to the routed plan (rows unchanged — every branch
+    filters on the exact per-row predicate); max_dims is exact per column,
+    which is all the pyramid-depth bound needs (it must only be >= the true
+    dims). Returns None to fall back to the aggregate probe whenever
+    anything is off (non-scan input, many files, missing stats)."""
+    try:
+        if images._jdf.queryExecution().optimizedPlan().getClass() \
+                .getSimpleName() != "LogicalRelation":
+            return None
+        files = images.inputFiles()
+        if not files or len(files) > 64:
+            return None
+        import pyarrow.parquet as pq
+        lo = {"w": None, "h": None}
+        hi = {"w": None, "h": None}
+        for uri in files:
+            path = uri[7:] if uri.startswith("file://") else uri
+            md = pq.ParquetFile(path).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            if "w" not in idx or "h" not in idx:
+                return None
+            for rg in range(md.num_row_groups):
+                for name in ("w", "h"):
+                    st = md.row_group(rg).column(idx[name]).statistics
+                    if st is None or not st.has_min_max:
+                        return None
+                    lo[name] = st.min if lo[name] is None else min(lo[name], st.min)
+                    hi[name] = st.max if hi[name] is None else max(hi[name], st.max)
+        if lo["w"] is None:
+            return False, False, (None, None)   # empty table
+        has_small = lo["w"] * lo["h"] <= split_threshold_px
+        has_big = hi["w"] * hi["h"] > split_threshold_px
+        return has_small, has_big, (hi["w"], hi["h"])
+    except Exception:
+        return None
+
+
 def route_probe(images: DataFrame,
                 split_threshold_px: int = SPLIT_THRESHOLD_PX) -> tuple:
-    """One column-pruned metadata aggregate deciding the pipeline shape:
-    (has_small, has_big, max_dims). Runs ONE Spark job — footer-stats cheap
-    on a parquet scan, but on a derived frame it recomputes upstream lineage;
-    run it once on a cached frame and hand the result to
-    cog_pipeline/cog_pipeline_parts/tile_pixel_stats via `probe=` to avoid
-    the pipeline re-probing (and re-filtering) the same lineage."""
+    """One column-pruned metadata probe deciding the pipeline shape:
+    (has_small, has_big, max_dims). On a bare parquet relation this reads
+    the file FOOTERS driver-side — no Spark job at all (r6: the aggregate
+    probe cost a 0.3-0.7 s job per cog_pipeline/_parts/tile_pixel_stats
+    invocation). Derived frames fall back to one aggregate job — which
+    recomputes upstream lineage, so such callers should localCheckpoint
+    first, or run route_probe() once themselves and pass its result via
+    `probe=`."""
+    footer = _probe_from_footers(images, split_threshold_px)
+    if footer is not None:
+        return footer
     stats = images.agg(F.min(_px_expr()).alias("mn"),
                        F.max(_px_expr()).alias("mx"),
                        F.max("w").alias("w"), F.max("h").alias("h")).first()

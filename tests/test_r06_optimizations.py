@@ -159,3 +159,23 @@ def test_pyramid_tail_fusion_byte_identical(spark, fixture_dir):
                 bytes(r.payload) for r in rows}
     a, b = key(fused.collect()), key(plain.collect())
     assert a == b
+
+
+def test_route_probe_footer_matches_aggregate(spark, fixture_dir):
+    """The footer-statistics probe must agree with the aggregate probe on
+    bare parquet relations (exactly here — fixture dims carry no
+    cross-column spread), and derived frames must fall back."""
+    from cogger_spark.fixtures import FIXTURE_DIR, ensure_test_fixtures
+    from cogger_spark.operators.tiling import (_probe_from_footers,
+                                               route_probe)
+    ensure_test_fixtures()
+    images = spark.read.parquet(str(FIXTURE_DIR / "images_test.parquet"))
+    for thr in (1, 512 * 512, 64 * 1024 * 1024):
+        foot = _probe_from_footers(images, thr)
+        assert foot is not None
+        assert foot == route_probe(images, thr)
+    # derived frame -> footer probe refuses, route_probe still answers
+    derived = images.filter(F.col("fmt") == "raw")
+    assert _probe_from_footers(derived, 1) is None
+    hs, hb, dims = route_probe(derived, 1)
+    assert dims[0] is not None
