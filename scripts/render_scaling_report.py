@@ -142,7 +142,7 @@ executor JVM at the measured local[8] profile (~11 ms-CPU/img) with
 per-node memory bandwidth — it inherits neither inflation term.
 """ if attrib else ""
 
-    md = f"""# BENCH — measured numbers (this sandbox), round 4
+    md = f"""# BENCH — measured numbers (this sandbox), rounds 4-6
 
 ## Scaling efficiency (north-rule evidencing: N vs 4N on one VM)
 
@@ -152,8 +152,10 @@ job (the flagship `cog_pipeline` over 19200 images, ~68 GB decoded pixels,
 shuffle partitions = cores, pixel-scan splits 4m (the r4 A/B winner, below),
 TWO interleaved reps per level per session (lo,hi,lo,hi — best-of-2), plus an
 in-session framework-free control (identical pixel kernel under plain
-`multiprocessing`). {len(sessions)} full sessions (15 from r4 + the rest
-from r5, post strip-path optimizations), ALL reported:
+`multiprocessing`). {len(sessions)} full sessions (15 from r4, 12 from
+r5 post strip-path optimizations, 3 from r6 post task-count/routing
+optimizations — the r6 sessions are the ones with both-level absolute
+throughput far above the rest), ALL reported:
 
 | session | img/s @8 | img/s @32 | CPUs busy @8 | @32 | raw eff (÷4) | eff on granted CPUs | control speedup 8→32 | control per-proc speed @32 vs @8 | engine ÷ control |
 |---|---|---|---|---|---|---|---|---|---|
