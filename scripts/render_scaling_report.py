@@ -153,7 +153,7 @@ shuffle partitions = cores, pixel-scan splits 4m (the r4 A/B winner, below),
 TWO interleaved reps per level per session (lo,hi,lo,hi — best-of-2), plus an
 in-session framework-free control (identical pixel kernel under plain
 `multiprocessing`). {len(sessions)} full sessions (15 from r4, 12 from
-r5 post strip-path optimizations, 3 from r6 post task-count/routing
+r5 post strip-path optimizations, 5 from r6 post task-count/routing
 optimizations — the r6 sessions are the ones with both-level absolute
 throughput far above the rest), ALL reported:
 
