@@ -179,3 +179,53 @@ def test_route_probe_footer_matches_aggregate(spark, fixture_dir):
     assert _probe_from_footers(derived, 1) is None
     hs, hb, dims = route_probe(derived, 1)
     assert dims[0] is not None
+
+
+def test_child_strip_exprs_other_tile_targets(spark):
+    """Routing equivalence across (tile, target_px) combinations beyond the
+    defaults — the closed form must track the planner everywhere."""
+    from cogger_spark.operators.strips import _plan_for_dims, with_child_strips
+    random.seed(77)
+    for tile, target in ((256, 64 * 1024), (512, 4 * 1024 * 1024),
+                         (256, 256 * 512)):
+        rows = []
+        for _ in range(25):
+            pw = random.randint(2, 40000)
+            ph = random.randint(2, 40000)
+            plan = _plan_for_dims(pw, ph, tile, target)
+            for i in {0, len(plan) - 1}:
+                top, h = plan[i]
+                rows.append((f"i_{pw}x{ph}_{top}", pw, ph, top, h))
+        df = spark.createDataFrame(
+            rows, "image_id string, level_w int, level_h int, top_row int, "
+                  "strip_h int")
+        got = {}
+        for r in with_child_strips(df, tile, target).collect():
+            got.setdefault(r.image_id, []).append(
+                (r.child_id, r.child_top, r.child_h))
+        for (iid, pw, ph, p_top, p_h) in rows:
+            cw, ch = -(-pw // 2), -(-ph // 2)
+            ref = []
+            for cid, (c_top, c_h) in enumerate(
+                    _plan_for_dims(cw, ch, tile, target)):
+                src0 = 2 * c_top
+                src1 = min(2 * (c_top + c_h), ph)
+                if src0 < p_top + p_h and src1 > p_top:
+                    ref.append((cid, c_top, c_h))
+            assert sorted(ref) == sorted(got[iid]), (tile, target, iid)
+
+
+def test_knn_adaptive_single_rung(spark, fixture_dir):
+    """rings=(r,) takes the phase-A-only path and must equal the bounded
+    knn_join at the same ring (modulo the extra `ring` column)."""
+    from cogger_spark.fixtures import FIXTURE_DIR, ensure_test_fixtures
+    from cogger_spark.operators import spatial
+    ensure_test_fixtures()
+    images = spark.read.parquet(str(FIXTURE_DIR / "images_test.parquet"))
+    points = spark.read.parquet(str(FIXTURE_DIR / "points_test.parquet"))
+    tiles = spatial.tile_manifest(images, tile=512, level=0)
+    single = spatial.knn_join_adaptive(points, tiles, k=3, rings=(2,))
+    plain = spatial.knn_join(points, tiles, k=3, ring=2)
+    a = {tuple(r) for r in single.drop("ring").collect()}
+    b = {tuple(r) for r in plain.collect()}
+    assert a == b
