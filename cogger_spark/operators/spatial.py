@@ -408,6 +408,12 @@ def distance_join(points: DataFrame, radius_deg: float,
     At 10^12 points this is the standard uniform-grid spatial join: shuffle
     keyed on cells, AQE skew-split for hot cells, candidate count linear in
     sum-of-neighborhood sizes."""
+    if not (0.0 < float(radius_deg) <= 90.0):
+        # > 90 has no covering lat cell (the coarsest lat cell spans 90
+        # degrees) so the 1-ring guarantee breaks at EVERY res; <= 0 (or
+        # NaN) would silently return no pairs at the finest grid.
+        raise ValueError(
+            f"radius_deg must be in (0, 90]: got {radius_deg}")
     if res is None:
         res = max(r for r in range(0, 29)
                   if C.cell_size_deg(r) / 2.0 >= radius_deg)

@@ -47,6 +47,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
         raise ValueError(
             "payload column '_ts' collides with the matched-timestamp "
             "field the join carries for the tolerance cut — rename it")
+    for c in ("_side", "_pay"):
+        if c in left.columns:
+            # a pre-existing _side/_pay on the left would silently shadow
+            # the union/fill bookkeeping (the left's own _pay survives the
+            # backfill) instead of failing loudly — mirror the _ts guard.
+            raise ValueError(
+                f"left column '{c}' is reserved by asof_join — rename it")
     l = left.withColumn("_side", F.lit(1))
     # a NULL-ts right row can never be "at or before" anything (DuckDB ASOF:
     # l.ts >= NULL is never true) — but in the fill-down union nulls sort

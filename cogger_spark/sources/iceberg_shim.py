@@ -114,8 +114,15 @@ def _collect_file_stats(path, files: list[str]) -> dict:
                 if st is None or not st.has_min_max:
                     continue
                 lo, hi = st.min, st.max
-                if isinstance(lo, bytes) or isinstance(hi, bytes):
-                    continue             # binary: no bounds (metrics=none)
+                # only JSON-native bounds may enter the snapshot manifest
+                # (json.dumps in the commit path): DATE/TIMESTAMP footer
+                # stats surface as datetime objects from pyarrow and would
+                # fail EVERY commit on such a table. Skipping is the
+                # conservative choice — no bounds means the file is always
+                # kept — same as binary columns (metrics=none).
+                if not (isinstance(lo, (bool, int, float, str))
+                        and isinstance(hi, (bool, int, float, str))):
+                    continue
                 if name in bounds:
                     bounds[name] = [min(bounds[name][0], lo),
                                     max(bounds[name][1], hi)]
@@ -648,7 +655,11 @@ def merge_into(spark: SparkSession, source: DataFrame, path: str,
             fired = fired & F.expr(matched_condition)
         drop_unmatched_tgt = when_not_matched_by_source == "delete"
         if when_matched == "delete":
-            survivors = j.filter(~fired)
+            # NULL matched_condition (e.g. "s.w > t.w" with NULL w) must
+            # KEEP the row: SQL MERGE only fires a clause whose condition
+            # is TRUE, and ~NULL is NULL which filter() drops. Coalesce
+            # mirrors the update path's when/otherwise semantics.
+            survivors = j.filter(~F.coalesce(fired, F.lit(False)))
             if drop_unmatched_tgt:
                 survivors = survivors.filter(
                     F.col("s._s_match").isNotNull())

@@ -174,7 +174,9 @@ def stream_upsert_table(spark: SparkSession, in_dir: str, table_path: str,
     key-unique sources): by the greatest `version_col` when given — the
     robust CDC contract (a change-log sequence/timestamp column) — else by
     arrival order within the batch (well-defined when each micro-batch is
-    one file; across files in one batch, listing order applies)."""
+    one file; across files in one batch, the later source file — by path,
+    the file source's listing tiebreak — wins, independent of Spark's
+    split packing)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
     from ..sources import iceberg_shim as shim
@@ -183,14 +185,22 @@ def stream_upsert_table(spark: SparkSession, in_dir: str, table_path: str,
         if batch_df.isEmpty():
             return
         # arrival order is always the FINAL tiebreak so equal-version rows
-        # resolve deterministically across task retries (r5 self-review)
-        order = ([F.col(version_col).desc(), F.col("_src_order").desc()]
-                 if version_col else [F.col("_src_order").desc()])
+        # resolve deterministically across task retries (r5 self-review).
+        # The source FILE is the primary arrival key: monotonically_
+        # increasing_id alone encodes the partition index, and with
+        # max_files_per_trigger > 1 the winner among duplicate keys
+        # spanning two files would depend on Spark's split packing, not
+        # on which file is later (r6 ADVICE). Within one file the id
+        # keeps row order (single-split files; the shape every CDC feed
+        # here produces).
+        order = ([F.col(version_col).desc()] if version_col else [])
+        order += [F.col("_src_file").desc(), F.col("_src_order").desc()]
         w = Window.partitionBy(key).orderBy(*order)
-        dedup = (batch_df.withColumn(
-                     "_src_order", F.monotonically_increasing_id())
+        dedup = (batch_df.withColumn("_src_file", F.input_file_name())
+                 .withColumn("_src_order", F.monotonically_increasing_id())
                  .withColumn("_rn", F.row_number().over(w))
-                 .filter(F.col("_rn") == 1).drop("_rn", "_src_order"))
+                 .filter(F.col("_rn") == 1)
+                 .drop("_rn", "_src_file", "_src_order"))
         try:
             shim.merge_into(spark, dedup, table_path, on=key)
         except FileNotFoundError:
