@@ -788,6 +788,72 @@ SPLIT_REWRITE_SCHEMA = ("image_id string, header binary, data binary, "
                         "in_bytes long, out_bytes long")
 
 
+def _binaryfile_path_route(tiffs: DataFrame) -> bool:
+    """Driver-side PROOF that `tiffs.bytes` is exactly the file content at
+    `tiffs.path` on the local filesystem — i.e. the optimized plan is a
+    Project/Filter chain over ONE binaryFile relation in which `bytes`
+    alias-chains to the scan's `content` attribute and `path` to its
+    `path` attribute, and every input file is file:-scheme. Only then may
+    a kernel read the path directly (shipping paths, not bytes, across
+    the JVM↔Python boundary); ANY doubt — derived bytes, other sources,
+    remote schemes — returns False and keeps the bytes-crossing route."""
+    try:
+        if "path" not in tiffs.columns or "bytes" not in tiffs.columns:
+            return False
+        node = tiffs._jdf.queryExecution().optimizedPlan()
+        want = {"bytes": "bytes", "path": "path"}
+        while True:
+            cls = node.getClass().getSimpleName()
+            if cls == "Filter":
+                node = node.child()
+                continue
+            if cls == "Project":
+                pl = node.projectList()
+                byname = {}
+                for i in range(pl.size()):
+                    ne = pl.apply(i)
+                    byname[ne.name()] = ne
+                nxt = {}
+                for out_col, cur in want.items():
+                    ne = byname.get(cur)
+                    if ne is None:
+                        return False
+                    ncls = ne.getClass().getSimpleName()
+                    if ncls == "Alias":
+                        ch = ne.child()
+                        if ch.getClass().getSimpleName() != \
+                                "AttributeReference":
+                            return False
+                        nxt[out_col] = ch.name()
+                    elif ncls == "AttributeReference":
+                        nxt[out_col] = cur
+                    else:
+                        return False
+                want = nxt
+                node = node.child()
+                continue
+            if cls == "LogicalRelation":
+                break
+            return False
+        if node.relation().toString() != "binaryFile":
+            return False
+        if want["bytes"] != "content" or want["path"] != "path":
+            return False
+        files = tiffs.inputFiles()
+        return bool(files) and all(f.startswith("file:") for f in files)
+    except Exception:
+        return False
+
+
+def _read_local_file(path: str) -> bytes:
+    """Read a file:-scheme URI (or plain path) from the worker-local fs."""
+    if path.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+        path = unquote(urlparse(path).path)
+    with open(path, "rb") as f:
+        return f.read()
+
+
 def rewrite_tiffs(tiffs: DataFrame, ghost: bool = True,
                   split: bool = False) -> DataFrame:
     """The reference's own job as a Spark operator: reshuffle already-tiled
@@ -818,23 +884,30 @@ def rewrite_tiffs(tiffs: DataFrame, ghost: bool = True,
             out["cog"] = []
         return out
 
+    # when bytes provably == local file content, ship only PATHS across
+    # the JVM↔Python boundary and read in-kernel: the multi-GB Arrow
+    # input crossing (the measured bound of this operator) disappears and
+    # the binaryFile scan prunes `content` to a listing-only scan
+    use_paths = _binaryfile_path_route(tiffs)
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cfg = Config(with_gdal_ghost=ghost)
         out = _new_out()
         acc = 0
         for pdf in batches:
             for r in pdf.itertuples(index=False):
+                data = _read_local_file(r.path) if use_paths else r.bytes
                 if split:
-                    header, data = rewrite_split(r.bytes, cfg=cfg)
+                    header, dat = rewrite_split(data, cfg=cfg)
                     out["header"].append(header)
-                    out["data"].append(data)
-                    out["out_bytes"].append(len(header) + len(data))
+                    out["data"].append(dat)
+                    out["out_bytes"].append(len(header) + len(dat))
                 else:
-                    cog = rewrite(r.bytes, cfg=cfg)
+                    cog = rewrite(data, cfg=cfg)
                     out["cog"].append(cog)
                     out["out_bytes"].append(len(cog))
                 out["image_id"].append(r.image_id)
-                out["in_bytes"].append(len(r.bytes))
+                out["in_bytes"].append(len(data))
                 acc += out["out_bytes"][-1]
                 if acc >= FLUSH_BYTES:
                     yield pd.DataFrame(out)
@@ -845,7 +918,8 @@ def rewrite_tiffs(tiffs: DataFrame, ghost: bool = True,
 
     tiffs = ensure_fanout(tiffs)
     schema = SPLIT_REWRITE_SCHEMA if split else REWRITE_SCHEMA
-    return tiffs.select("image_id", "bytes").mapInPandas(kernel, schema)
+    cols = ("image_id", "path") if use_paths else ("image_id", "bytes")
+    return tiffs.select(*cols).mapInPandas(kernel, schema)
 
 
 
@@ -866,6 +940,8 @@ def rewrite_tiffs_to_dir(tiffs: DataFrame, out_dir: str,
 
     from ..tiff.codec import Config, rewrite
 
+    use_paths = _binaryfile_path_route(tiffs)  # see rewrite_tiffs
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cfg = Config(with_gdal_ghost=ghost)
         os.makedirs(out_dir, exist_ok=True)
@@ -873,20 +949,22 @@ def rewrite_tiffs_to_dir(tiffs: DataFrame, out_dir: str,
             out = {"image_id": [], "in_bytes": [], "out_bytes": [],
                    "out_path": []}
             for r in pdf.itertuples(index=False):
-                cog = rewrite(r.bytes, cfg=cfg)
+                data = _read_local_file(r.path) if use_paths else r.bytes
+                cog = rewrite(data, cfg=cfg)
                 dst = os.path.join(out_dir, f"{r.image_id}.tif")
                 tmp = os.path.join(out_dir, f".{r.image_id}.tmp")
                 with open(tmp, "wb") as f:
                     f.write(cog)
                 os.replace(tmp, dst)
                 out["image_id"].append(r.image_id)
-                out["in_bytes"].append(len(r.bytes))
+                out["in_bytes"].append(len(data))
                 out["out_bytes"].append(len(cog))
                 out["out_path"].append(dst)
             yield pd.DataFrame(out)
 
     tiffs = ensure_fanout(tiffs)
-    return tiffs.select("image_id", "bytes").mapInPandas(
+    cols = ("image_id", "path") if use_paths else ("image_id", "bytes")
+    return tiffs.select(*cols).mapInPandas(
         kernel, REWRITE_FILES_SCHEMA)
 
 

@@ -256,3 +256,37 @@ def test_strips_level0_threaded_byte_identical(spark):
     n = _scan_rows_upper(base.filter(F.col("w") > 0))
     assert n is not None and n >= base.count()
     assert _scan_rows_upper(base.groupBy("fmt").count()) is None
+
+
+def test_rewrite_path_route_equivalent_and_guarded(spark, smoke_images,
+                                                   tmp_path):
+    """rewrite_tiffs over a pure binaryFile scan takes the path-read route
+    (bytes never cross the JVM↔Python boundary; ReadSchema prunes content)
+    and must return byte-identical results to the bytes route; ANY derived
+    frame must refuse the route."""
+    import hashlib
+    from cogger_spark.operators.tiling import (
+        _binaryfile_path_route, convert_images, rewrite_tiffs)
+    from cogger_spark.sources.tiffdir import read_tiff_dir
+    src = spark.read.parquet(smoke_images).limit(5)
+    d = tmp_path / "tifs"
+    convert_images(src, str(d), tile=512)
+    tiffs = read_tiff_dir(spark, str(d))
+
+    assert _binaryfile_path_route(tiffs) is True
+    # derived bytes / missing path / non-scan frames refuse the route
+    assert _binaryfile_path_route(
+        tiffs.withColumn("bytes", F.expr("substring(bytes, 1, 4)"))) is False
+    assert _binaryfile_path_route(tiffs.drop("path")) is False
+    forced = tiffs.localCheckpoint()
+    assert _binaryfile_path_route(forced) is False
+
+    def digest(df):
+        return {r.image_id: (r.in_bytes, r.out_bytes,
+                             hashlib.md5(bytes(r.cog)).hexdigest())
+                for r in rewrite_tiffs(df).collect()}
+
+    assert digest(tiffs) == digest(forced)
+    # the path-route scan must never read file contents in the JVM
+    plan = rewrite_tiffs(tiffs)._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<path:string>" in plan, plan
